@@ -1,0 +1,113 @@
+"""Reference (pure-jnp) attention ops.
+
+These are the numerically-authoritative implementations: the Pallas
+kernels in ``flash_attention.py`` are parity-tested against them (the
+TPU-native analogue of the reference's GPU↔NPU attention parity harness,
+reference: mllm_npu/acceleration/{npu,gpu}.py and acceleration.md:35).
+
+Conventions (TPU-friendly BSHD layout):
+  q: [B, Sq, Hq, D]   k/v: [B, Sk, Hkv, D]   with Hq % Hkv == 0 (GQA/MQA)
+  segment_ids: int32 [B, S]; tokens attend only within equal segment ids
+  (this is the varlen/packing capability — the equivalent of
+  flash_attn_varlen / npu_fusion_attention actual_seq_len, reference:
+  mllm_npu/acceleration/npu.py:55-73).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def make_attention_mask(
+    *,
+    q_len: int,
+    kv_len: int,
+    causal: bool = False,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset: int | jax.Array = 0,
+    dtype=jnp.bool_,
+) -> Optional[jax.Array]:
+    """Build a boolean [B?, q_len, kv_len] mask (True = attend)."""
+    mask = None
+    if causal:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
+        mask = (q_idx + q_offset) >= kv_idx
+    if q_segment_ids is not None:
+        assert kv_segment_ids is not None
+        seg = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        mask = seg if mask is None else (mask[None] & seg)
+    elif mask is not None:
+        mask = mask[None]
+    return None if mask is None else mask.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "logits_soft_cap", "scale"),
+)
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    attn_mask: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset: int | jax.Array = 0,
+    scale: Optional[float] = None,
+    logits_soft_cap: Optional[float] = None,
+) -> jax.Array:
+    """Eager multi-head attention with GQA, causal and segment masking.
+
+    ``attn_mask``: optional extra boolean mask, broadcastable to
+    [B, Hq, Sq, Sk] (True = attend). Softmax in fp32 for stability.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    assert Hq % Hkv == 0, f"GQA requires Hq % Hkv == 0, got {Hq} % {Hkv}"
+    G = Hq // Hkv
+
+    if scale is None:
+        scale = D ** -0.5
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # [B, Sq, Hkv, G, D] x [B, Sk, Hkv, D] -> [B, Hkv, G, Sq, Sk]
+    # HIGHEST precision: this is the numerics oracle for kernel parity.
+    qf = qf.reshape(B, Sq, Hkv, G, D)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    if logits_soft_cap is not None:
+        logits = jnp.tanh(logits / logits_soft_cap) * logits_soft_cap
+
+    mask = make_attention_mask(
+        q_len=Sq,
+        kv_len=Sk,
+        causal=causal,
+        q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids,
+        q_offset=q_offset,
+    )
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None] if mask.ndim == 3 else mask,
+                           logits, DEFAULT_MASK_VALUE)
+    if attn_mask is not None:
+        am = attn_mask.reshape(B, Hkv, G, Sq, Sk) if attn_mask.ndim == 4 else attn_mask
+        logits = jnp.where(am, logits, DEFAULT_MASK_VALUE)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(B, Sq, Hq, D).astype(q.dtype)

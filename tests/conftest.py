@@ -1,0 +1,18 @@
+"""Test env: 8 virtual CPU devices so DP/FSDP/TP sharding tests run
+without TPU hardware (the multi-device test capability the reference
+lacks entirely — SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (must come after env setup)
+
+# This backend's default matmul precision is low (bf16-like); pin f32-exact
+# matmuls so kernel-parity tests compare real numerics, not noise.
+jax.config.update("jax_default_matmul_precision", "highest")
