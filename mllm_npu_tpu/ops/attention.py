@@ -104,7 +104,19 @@ def dot_product_attention(
         logits = jnp.where(mask[:, None, None] if mask.ndim == 3 else mask,
                            logits, DEFAULT_MASK_VALUE)
     if attn_mask is not None:
-        am = attn_mask.reshape(B, Hkv, G, Sq, Sk) if attn_mask.ndim == 4 else attn_mask
+        # accept [B?, Sk] (key padding), [B?, H', Sq, Sk] with H' in
+        # {1, Hkv, Hq}, or a full 5-D [B, Hkv, G, Sq, Sk]
+        if attn_mask.ndim == 2:
+            am = attn_mask[:, None, None, None, :]
+        elif attn_mask.ndim == 4:
+            Hm = attn_mask.shape[1]
+            if Hm == Hq and Hq != Hkv:
+                am = attn_mask.reshape(attn_mask.shape[0], Hkv, G,
+                                       *attn_mask.shape[2:])
+            else:
+                am = attn_mask[:, :, None]
+        else:
+            am = attn_mask
         logits = jnp.where(am, logits, DEFAULT_MASK_VALUE)
 
     probs = jax.nn.softmax(logits, axis=-1)
