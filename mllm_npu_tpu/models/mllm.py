@@ -1,0 +1,224 @@
+"""Multimodal model assemblies (Flax).
+
+Capability parity with the reference's two assemblies
+(mllm_npu/models/mllm.py):
+
+- :class:`GeneralizedMultimodalModel` — LLaVA-style comprehension:
+  vision encoder → projector → scatter projected image tokens into the
+  token-embedding sequence at ``ids_cmp_mask`` positions → LLM
+  (reference mllm.py:46-151).
+- :class:`SEED` — adds an output projector and a reconstruction loss
+  between LLM hidden states at ``ids_gen_mask`` positions and (optionally
+  4×-pooled) encoder targets, cosine or MSE (reference mllm.py:233-387).
+
+TPU-first redesign notes:
+- The data contract (images + embeds_cmp/gen_mask + ids_cmp/gen_mask +
+  patch_positions) is preserved verbatim, but every shape is static:
+  ``images`` is a fixed-capacity [N, H, W, 3] buffer with boolean
+  validity masks; the reference's boolean fancy-indexing scatter
+  (mllm.py:135 ``input_embeds[ids_cmp_mask] = ...``) becomes an
+  order-preserving cumsum-gather + ``where`` that XLA compiles to pure
+  vector ops.
+- The reference's fake-image / 0.0-multiplier tricks (mllm.py:95-139)
+  existed to keep ZeRO-3 graphs identical across ranks; under GSPMD all
+  devices run one program, so they are structurally unnecessary — zero
+  contributions fall out of the masked scatter.
+- ``freeze_vision_encoder`` uses ``stop_gradient`` (+ optimizer masking
+  in the trainer), the functional analogue of requires_grad_(False)
+  (reference mllm.py:58, 70-77).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mllm_npu_tpu.models.language_models.llama import causal_lm_loss
+from mllm_npu_tpu.ops import SegmentIds
+
+
+def cosine_loss(rec: jax.Array, target: jax.Array,
+                weights: Optional[jax.Array] = None) -> jax.Array:
+    """1 - cosine similarity, meaned (reference mllm.py:11-15); optional
+    per-image weights for masking padded image slots."""
+    target = target / (jnp.linalg.norm(target, axis=-1, keepdims=True) + 1e-8)
+    rec = rec / (jnp.linalg.norm(rec, axis=-1, keepdims=True) + 1e-8)
+    per = 1.0 - jnp.sum(target * rec, axis=-1)   # [N, nq]
+    if weights is None:
+        return per.mean()
+    w = weights[:, None].astype(per.dtype)
+    denom = jnp.maximum(w.sum() * per.shape[1], 1.0)
+    return (per * w).sum() / denom
+
+
+def mse_loss(rec: jax.Array, target: jax.Array,
+             weights: Optional[jax.Array] = None) -> jax.Array:
+    per = (rec - target) ** 2   # [N, nq, D]
+    if weights is None:
+        return per.mean()
+    w = weights[:, None, None].astype(per.dtype)
+    denom = jnp.maximum(w.sum() * per.shape[1] * per.shape[2], 1.0)
+    return (per * w).sum() / denom
+
+
+def compact_selected(x: jax.Array, sel: jax.Array) -> jax.Array:
+    """Move rows with sel=True to the front, preserving order (static
+    shape replacement for ``x[sel]``)."""
+    order = jnp.argsort(jnp.logical_not(sel), stable=True)
+    return jnp.take(x, order, axis=0)
+
+
+def scatter_image_embeds(input_embeds: jax.Array,      # [B, S, D]
+                         ids_mask: jax.Array,          # [B, S] bool
+                         image_embeds: jax.Array,      # [N, nq, D] compacted
+                         ) -> jax.Array:
+    """input_embeds[ids_mask] = image_embeds.reshape(-1, D), statically.
+
+    ``ids_mask`` must have exactly (num selected images × nq) True
+    positions in row-major order — the reference's data contract.
+    """
+    B, S, D = input_embeds.shape
+    flat_src = image_embeds.reshape(-1, D).astype(input_embeds.dtype)
+    mask = ids_mask.reshape(-1)
+    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.clip(slot, 0, flat_src.shape[0] - 1)
+    gathered = jnp.take(flat_src, slot, axis=0)
+    out = jnp.where(mask[:, None], gathered, input_embeds.reshape(-1, D))
+    return out.reshape(B, S, D)
+
+
+def gather_masked_tokens(hidden: jax.Array,   # [B, S, D]
+                         ids_mask: jax.Array,  # [B, S] bool
+                         capacity: int) -> jax.Array:
+    """hidden[ids_mask].reshape(n, -1, D) with a static capacity: returns
+    [capacity, D] rows — the first ``ids_mask.sum()`` are the masked
+    tokens in row-major order, the rest are arbitrary (mask downstream).
+    """
+    D = hidden.shape[-1]
+    flat = hidden.reshape(-1, D)
+    mask = ids_mask.reshape(-1)
+    idx = jnp.argsort(jnp.logical_not(mask), stable=True)[:capacity]
+    return jnp.take(flat, idx, axis=0)
+
+
+def _patch_pos_bias(patch_positions: jax.Array, table: jax.Array) -> jax.Array:
+    """[N, 2] normalized patch centers × [4, D] corner table → [N, 1, D]
+    (reference mllm.py:112-118)."""
+    rel = jnp.concatenate([patch_positions, 1 - patch_positions], axis=-1) / 2
+    return (rel.astype(table.dtype) @ table)[:, None, :]
+
+
+class GeneralizedMultimodalModel(nn.Module):
+    """vision encoder + projector + LLM (LLaVA-style comprehension)."""
+    language_model: nn.Module
+    vision_encoder: nn.Module
+    projector: nn.Module
+    freeze_vision_encoder: bool = True
+    lm_loss_scale: float = 1.0
+    add_patch_pos: bool = False
+    patch_pos_dim: int = 4096
+
+    def setup(self):
+        if self.add_patch_pos:
+            self.patch_pos_embed = self.param(
+                "patch_pos_embed",
+                nn.initializers.normal(stddev=self.patch_pos_dim ** -0.5),
+                (4, self.patch_pos_dim), jnp.float32)
+
+    def forward_images(self, images, patch_positions=None):
+        image_embeds = self.vision_encoder(images)
+        if self.freeze_vision_encoder:
+            image_embeds = jax.lax.stop_gradient(image_embeds)
+        return image_embeds
+
+    def project_images(self, image_embeds, patch_positions=None):
+        image_embeds_lm = self.projector(image_embeds)
+        if self.add_patch_pos and patch_positions is not None:
+            image_embeds_lm = image_embeds_lm + _patch_pos_bias(
+                patch_positions,
+                self.patch_pos_embed.astype(image_embeds_lm.dtype))
+        return image_embeds_lm
+
+    def embed_and_scatter(self, input_ids, images, embeds_cmp_mask,
+                          ids_cmp_mask, patch_positions):
+        input_embeds = self.language_model.embed(input_ids)
+        if images is None:
+            return input_embeds, None
+        image_embeds = self.forward_images(images)
+        proj_in = compact_selected(image_embeds, embeds_cmp_mask)
+        pp = None
+        if patch_positions is not None:
+            pp = compact_selected(patch_positions, embeds_cmp_mask)
+        image_embeds_lm = self.project_images(proj_in, pp)
+        input_embeds = scatter_image_embeds(
+            input_embeds, ids_cmp_mask, image_embeds_lm)
+        return input_embeds, image_embeds
+
+    def __call__(self, input_ids, images, attention_mask, labels,
+                 embeds_gen_mask=None, embeds_cmp_mask=None,
+                 ids_gen_mask=None, ids_cmp_mask=None,
+                 patch_positions=None):
+        input_embeds, _ = self.embed_and_scatter(
+            input_ids, images, embeds_cmp_mask, ids_cmp_mask,
+            patch_positions)
+        seg = attention_mask.astype(jnp.int32) if attention_mask is not None \
+            else None
+        logits, _, _ = self.language_model(
+            inputs_embeds=input_embeds,
+            segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
+        lm_loss = causal_lm_loss(logits, labels)
+        total = self.lm_loss_scale * lm_loss
+        return {"total_loss": total, "lm_loss": lm_loss}
+
+
+class SEED(GeneralizedMultimodalModel):
+    """Comprehension + generation: adds output projector and rec loss."""
+    output_projector: Optional[nn.Module] = None
+    rec_loss_scale: float = 1.0
+    vit_down: bool = False
+    mse: bool = False
+    num_img_out_tokens: int = 64
+
+    def __call__(self, input_ids, images, attention_mask, labels,
+                 embeds_gen_mask=None, embeds_cmp_mask=None,
+                 ids_gen_mask=None, ids_cmp_mask=None,
+                 patch_positions=None):
+        input_embeds, image_embeds = self.embed_and_scatter(
+            input_ids, images, embeds_cmp_mask, ids_cmp_mask,
+            patch_positions)
+        seg = attention_mask.astype(jnp.int32) if attention_mask is not None \
+            else None
+        logits, last_hidden, _ = self.language_model(
+            inputs_embeds=input_embeds,
+            segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
+        lm_loss = causal_lm_loss(logits, labels)
+
+        rec_loss = jnp.array(0.0, jnp.float32)
+        if image_embeds is not None and ids_gen_mask is not None:
+            N = image_embeds.shape[0]
+            D = last_hidden.shape[-1]
+            targets = compact_selected(image_embeds, embeds_gen_mask)
+            if self.vit_down:
+                n, L, C = targets.shape
+                targets = targets.reshape(n, L // 4, 4, C).mean(axis=2)
+            n_gen = embeds_gen_mask.sum()
+            weights = (jnp.arange(N) < n_gen).astype(jnp.float32)
+
+            out_tokens = gather_masked_tokens(
+                last_hidden, ids_gen_mask,
+                capacity=N * self.num_img_out_tokens)
+            out_tokens = out_tokens.reshape(N, self.num_img_out_tokens, D)
+            recon = self.output_projector(out_tokens)
+            targets = jax.lax.stop_gradient(targets).astype(jnp.float32)
+            recon = recon.astype(jnp.float32)
+            if self.mse:
+                rec_loss = mse_loss(recon, targets, weights)
+            else:
+                rec_loss = cosine_loss(recon, targets, weights)
+
+        total = self.lm_loss_scale * lm_loss + self.rec_loss_scale * rec_loss
+        return {"total_loss": total, "lm_loss": lm_loss,
+                "rec_loss": rec_loss}
