@@ -4,7 +4,9 @@ lacks entirely — SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient env points JAX at the axon TPU tunnel, but the
+# suite must run hermetically on a virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402  (must come after env setup)
+
+# The image's sitecustomize force-registers the axon TPU plugin and sets
+# jax_platforms="axon,cpu"; override it *after* import, before backend init.
+jax.config.update("jax_platforms", "cpu")
 
 # This backend's default matmul precision is low (bf16-like); pin f32-exact
 # matmuls so kernel-parity tests compare real numerics, not noise.
