@@ -32,6 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NUM_LANES = 128
+# v5e/v5p scoped-VMEM default (16MB) is too small for 256-blocks; the
+# hardware allows more — raise it so larger tiles are available.
+VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -89,37 +92,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         if mask is not None:
             s += jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]                # [bq, 128]
+        # PERF-CRITICAL: m/l scratch keep ALL 128 lanes equal so every
+        # broadcast below is jnp.tile of a full vreg. Lane-slices like
+        # m[:, :1] force a Mosaic lane-broadcast relayout that measured
+        # 13x slower end-to-end on v5e.
+        m_prev = m_scr[...]                # [bq, 128] (lanes equal)
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]              # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)              # [bq, 128]
-        p = jnp.exp(s - jnp.tile(m_next[:, :1], (1, block_k)))
+        p = jnp.exp(s - jnp.tile(m_next, (1, block_k // NUM_LANES)))
         alpha = jnp.exp(m_prev - m_next)                  # [bq, 128]
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        l_corr = alpha * l_prev
+        l_next = jnp.sum(p, axis=1)[:, None] + l_corr     # [bq, 128]
 
         m_scr[...] = m_next
         l_scr[...] = l_next
 
+        # continuously-normalized accumulator (in-tree/FA1 style): acc is
+        # always acc_true / l_so_far, so the final step is just a cast.
+        l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        d_rep = acc_scr.shape[-1] // NUM_LANES
+        acc_scr[...] *= jnp.tile(l_corr * l_inv, (1, d_rep))
         v = v_ref[0, 0]  # [bk, D]
-        d_rep = max(acc_scr.shape[-1] // NUM_LANES, 1)
-        if acc_scr.shape[-1] % NUM_LANES == 0:
-            alpha_b = jnp.tile(alpha[:, :1], (1, acc_scr.shape[-1]))
-        else:
-            alpha_b = alpha[:, : acc_scr.shape[-1]]
-        del d_rep
-        acc_scr[...] = acc_scr[...] * alpha_b + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        acc_scr[...] += o_curr * jnp.tile(l_inv, (1, d_rep))
 
     @pl.when(ki == num_kv_blocks - 1)
     def _finish():
         l = l_scr[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        if acc_scr.shape[-1] % NUM_LANES == 0:
-            l_b = jnp.tile(l_safe[:, :1], (1, acc_scr.shape[-1]))
-        else:
-            l_b = l_safe[:, : acc_scr.shape[-1]]
-        o_ref[0, 0] = (acc_scr[...] / l_b).astype(o_ref.dtype)
+        o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
         lse = m_scr[...] + jnp.log(l_safe)
         lse_ref[0, 0] = jnp.where(l == 0.0, -jnp.inf, lse)
 
@@ -182,6 +185,10 @@ def _fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, interpret):
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(*[a for a in args if a is not None])
     return o, lse
@@ -228,8 +235,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]   # [bq, 1]
-        di = di_ref[0, 0][:, :1]     # [bq, 1]
+        lse = lse_ref[0, 0]   # [bq, 128], lanes equal
+        di = di_ref[0, 0]     # [bq, 128], lanes equal
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -247,10 +254,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         if mask is not None:
             s += jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - jnp.tile(lse, (1, block_k)))   # [bq, bk]
+        rep = block_k // NUM_LANES
+        p = jnp.exp(s - jnp.tile(lse, (1, rep)))   # [bq, bk]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.tile(di, (1, block_k))) * scale
+        ds = p * (dp - jnp.tile(di, (1, rep))) * scale
         dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
                                    preferred_element_type=jnp.float32)
 
@@ -281,8 +289,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]   # [bq, 1]
-        di = di_ref[0, 0][:, :1]     # [bq, 1]
+        lse = lse_ref[0, 0]   # [bq, 128], lanes equal
+        di = di_ref[0, 0]     # [bq, 128], lanes equal
 
         # q-major throughout; dK/dV use transposed-LHS matmuls so no
         # sublane->lane relayouts are needed.
@@ -302,14 +310,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         if mask is not None:
             s += jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - jnp.tile(lse, (1, block_k)))    # [bq, bk]
+        rep = block_k // NUM_LANES
+        p = jnp.exp(s - jnp.tile(lse, (1, rep)))    # [bq, bk]
         # dv += p^T @ do  (contract over bq)
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.tile(di, (1, block_k))) * scale  # [bq, bk]
+        ds = p * (dp - jnp.tile(di, (1, rep))) * scale  # [bq, bk]
         # dk += ds^T @ q  (contract over bq)
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -376,6 +385,10 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
                                lambda b, h, qi, ki: (b, h, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(*[a for a in args if a is not None])
 
@@ -426,6 +439,10 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(*[a for a in args if a is not None])
 
@@ -481,6 +498,10 @@ def flash_attention(
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
     assert Hq % Hkv == 0
+    if D % NUM_LANES != 0:
+        raise ValueError(
+            f"head_dim {D} must be a multiple of {NUM_LANES} for the flash "
+            "kernel (lane-broadcast-free bookkeeping); use the eager path")
     if scale is None:
         scale = D ** -0.5
     block_q = min(block_q, Sq)
