@@ -1,11 +1,17 @@
 """Driver benchmark: prints ONE JSON line.
 
 Benchmarks the Pallas flash-attention kernel at the exact shape of the
-reference's published op-level numbers (B=32, H=8, S=256, D=256, 100
-iters / 20 warmup — reference: mllm_npu/acceleration/test.py:12-17,33-52)
-and compares against the Ascend 910B `torch_npu.npu_fusion_attention`
-time (0.0022245049 s, acceleration.md:10). vs_baseline > 1 means faster
-than the reference hardware+kernel.
+reference's published op-level numbers (B=32, H=8, S=256, D=256 —
+reference: mllm_npu/acceleration/test.py:12-17,33-52) and compares
+against the Ascend 910B `torch_npu.npu_fusion_attention` time
+(0.0022245049 s, acceleration.md:10). vs_baseline > 1 = faster than the
+reference hardware+kernel.
+
+Timing method: the op iterates inside an on-device ``lax.fori_loop``
+(data-dependent chaining) and per-op time is the slope between two loop
+lengths. This removes host-dispatch/tunnel overhead that a host-side
+loop would measure (which on the axon relay both under- and
+over-estimates wildly).
 """
 
 import json
@@ -16,7 +22,7 @@ import jax.numpy as jnp
 
 BASELINE_NPU_FUSION_ATTENTION_S = 0.0022245049  # Ascend 910B, fp16
 B, H, S, D = 32, 8, 256, 256
-WARMUP, ITERS = 20, 100
+N_SHORT, N_LONG = 20, 120
 
 
 def main():
@@ -24,28 +30,35 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.bfloat16
-    key = jax.random.PRNGKey(0)
-    kq, kk, kv = jax.random.split(key, 3)
-    # kernel layout is BSHD
-    q = jax.random.normal(kq, (B, S, H, D), dtype)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q0 = jax.random.normal(kq, (B, S, H, D), dtype)
     k = jax.random.normal(kk, (B, S, H, D), dtype)
     v = jax.random.normal(kv, (B, S, H, D), dtype)
 
-    fn = jax.jit(lambda q, k, v: flash_attention(
-        q, k, v, causal=False, block_q=256, block_k=256,
-        interpret=not on_tpu))
+    def attn(q):
+        return flash_attention(q, k, v, causal=False,
+                               block_q=256, block_k=256,
+                               interpret=not on_tpu)
 
-    out = fn(q, k, v)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        out = fn(q, k, v)
-    jax.block_until_ready(out)
+    def make(n):
+        @jax.jit
+        def run(q):
+            out = jax.lax.fori_loop(0, n, lambda i, x: attn(x), q)
+            return jnp.sum(out.astype(jnp.float32))
+        return run
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(q, k, v)
-    jax.block_until_ready(out)
-    avg = (time.perf_counter() - t0) / ITERS
+    def timed(n, reps=3):
+        fn = make(n)
+        float(fn(q0))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(q0))  # scalar fetch forces materialization
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(N_SHORT), timed(N_LONG)
+    avg = max((t_long - t_short) / (N_LONG - N_SHORT), 1e-9)
 
     print(json.dumps({
         "metric": "flash_attention_fwd_avg_time_B32H8S256D256",
