@@ -1,0 +1,202 @@
+"""End-to-end generation for the MLLM assemblies (jitted prefill + decode).
+
+Mirrors the reference's two generate paths:
+- comprehension (img2txt): GeneraliazedMultimodalModels.generate /
+  SEED.generate text branch (reference mllm.py:153-208, 389-453)
+- generation (txt2img): SEED.generate with the forced image-token ladder
+  and hidden-window extraction feeding the output projector
+  (reference mllm.py:445-488)
+
+TPU design: one jit per (prompt_len, max_new_tokens) bucket; the decode
+loop is a ``lax.while_loop`` over a static KV cache; the logits
+processor is a pure jnp transform (sampler.apply_image_ladder).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mllm_npu_tpu.models.generation.sampler import (
+    ImageTokenLadder, SamplingConfig, apply_image_ladder, decode_loop,
+    extract_img_windows)
+from mllm_npu_tpu.models.language_models.llama import init_cache
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class MLLMGenerator:
+    """Holds jitted prefill/decode closures for one (model, params) pair.
+
+    ``model`` is a GeneralizedMultimodalModel or SEED flax module;
+    ``lm_config`` its language model's LlamaConfig.
+    """
+
+    def __init__(self, model, lm_config, params, *,
+                 sampling: SamplingConfig = SamplingConfig(),
+                 ladder: Optional[ImageTokenLadder] = None,
+                 prompt_bucket: int = 128,
+                 cache_dtype=jnp.bfloat16):
+        self.model = model
+        self.lm_config = lm_config
+        self.params = params
+        self.sampling = sampling
+        self.ladder = ladder
+        self.prompt_bucket = prompt_bucket
+        self.cache_dtype = cache_dtype
+        self._compiled = {}
+
+    # -- model plumbing (apply with method=...) ---------------------------
+
+    def _embed_and_scatter(self, params, input_ids, images,
+                           embeds_cmp_mask, ids_cmp_mask, patch_positions):
+        return self.model.apply(
+            params, input_ids, images, embeds_cmp_mask, ids_cmp_mask,
+            patch_positions, method=self.model.embed_and_scatter)
+
+    def _lm_forward(self, params, inputs_embeds=None, input_ids=None,
+                    cache=None, attn_mask=None):
+        def fwd(m, **kw):
+            return m.language_model(**kw)
+        return self.model.apply(
+            params, inputs_embeds=inputs_embeds, input_ids=input_ids,
+            cache=cache, attn_mask=attn_mask, method=fwd)
+
+    def _output_project(self, params, windows):
+        def proj(m, x):
+            return m.output_projector(x)
+        return self.model.apply(params, windows, method=proj)
+
+    # -- compiled path ----------------------------------------------------
+
+    def _get_compiled(self, prompt_len: int, has_images: bool,
+                      num_images: int):
+        key = (prompt_len, has_images, num_images)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        cfg = self.lm_config
+        sampling = self.sampling
+        ladder = self.ladder
+        max_len = prompt_len + sampling.max_new_tokens
+
+        def run(params, input_ids, prompt_mask, images, embeds_cmp_mask,
+                ids_cmp_mask, patch_positions, rng):
+            B, Sp = input_ids.shape
+            if has_images:
+                inputs_embeds, _ = self._embed_and_scatter(
+                    params, input_ids, images, embeds_cmp_mask,
+                    ids_cmp_mask, patch_positions)
+            else:
+                inputs_embeds, _ = self._embed_and_scatter(
+                    params, input_ids, None, None, None, None)
+
+            cache = init_cache(cfg, B, max_len, dtype=self.cache_dtype)
+            # prefill: padding keys masked via attn_mask
+            am = prompt_mask[:, None, None, :].astype(bool)  # [B,1,1,Sp]
+            logits, hidden, cache = self._lm_forward(
+                params, inputs_embeds=inputs_embeds, cache=cache,
+                attn_mask=None)  # right-pad-free prompts: full causal
+            del am
+            last_logits = logits[:, -1].astype(jnp.float32)
+            if ladder is not None:
+                last_logits = apply_image_ladder(
+                    last_logits, input_ids[:, -1], ladder)
+            rng, sub = jax.random.split(rng)
+            from mllm_npu_tpu.models.generation.sampler import _sample
+            first_token = _sample(last_logits, sub, sampling)
+            first_hidden = hidden[:, -1]
+
+            def step(tok, cache):
+                logits, h, cache = self._lm_forward(
+                    params, input_ids=tok, cache=cache)
+                return (logits[:, -1].astype(jnp.float32), h[:, -1], cache)
+
+            tokens, hiddens, done = decode_loop(
+                step, cache, first_token, first_hidden, rng, sampling,
+                ladder=ladder)
+            return tokens, hiddens
+
+        jitted = jax.jit(run)
+        self._compiled[key] = jitted
+        return jitted
+
+    # -- public API --------------------------------------------------------
+
+    def generate(self, input_ids, *, images=None, embeds_cmp_mask=None,
+                 ids_cmp_mask=None, patch_positions=None, rng=None,
+                 num_img_gen_tokens: int = 64, max_gen_imgs: int = 4):
+        """input_ids: [B, Sp] (unpadded, equal lengths per batch).
+
+        Returns dict with generated ids [B, T], per-step hidden states,
+        and (for SEED) image-generation features."""
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None]
+        B, Sp = input_ids.shape
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        has_images = images is not None
+        n_img = 0 if images is None else int(images.shape[0])
+
+        prompt_mask = jnp.ones((B, Sp), jnp.int32)
+        fn = self._get_compiled(Sp, has_images, n_img)
+        tokens, hiddens = fn(self.params, input_ids, prompt_mask,
+                             images, embeds_cmp_mask, ids_cmp_mask,
+                             patch_positions, rng)
+
+        out = {"generate_ids": tokens, "hidden_states": hiddens}
+        if self.ladder is not None:
+            windows, valid, text_mask = jax.vmap(
+                lambda t, h: extract_img_windows(
+                    t, h, self.ladder.eoi, num_img_gen_tokens,
+                    max_gen_imgs, boi_token_id=self.ladder.boi)
+            )(tokens, hiddens)
+            out["img_windows"] = windows
+            out["img_valid"] = valid
+            out["text_mask"] = text_mask
+        return out
+
+    def generate_with_projection(self, input_ids, tokenizer=None, **kw):
+        """SEED path: decode + project image windows through the output
+        projector; returns reference-shaped dict (text, has_img_output,
+        img_gen_feat, num_gen_imgs — reference mllm.py:483-488)."""
+        out = self.generate(input_ids, **kw)
+        result = {
+            "generate_ids": out["generate_ids"],
+        }
+        if "img_windows" in out:
+            valid = np.asarray(out["img_valid"])
+            n = int(valid.sum())
+            result["has_img_output"] = n > 0
+            result["num_gen_imgs"] = n
+            if n > 0:
+                B, M = valid.shape
+                win = out["img_windows"].reshape(
+                    B * M, *out["img_windows"].shape[2:])
+                feats = self._output_project(self.params, win)
+                feats = feats.reshape(B, M, *feats.shape[1:])
+                sel = np.argwhere(valid)
+                result["img_gen_feat"] = jnp.stack(
+                    [feats[b, m] for b, m in sel])
+            else:
+                result["img_gen_feat"] = None
+        if tokenizer is not None:
+            ids = np.asarray(out["generate_ids"][0])
+            tm = np.asarray(out.get("text_mask",
+                                    np.ones_like(ids, bool))[0])
+            # trim at eos/pad
+            keep = ids != self.sampling.pad_token_id
+            if self.sampling.eos_token_id >= 0:
+                eos = np.where(ids == self.sampling.eos_token_id)[0]
+                if len(eos):
+                    keep[eos[0]:] = False
+            text_ids = ids[tm & keep]
+            result["text"] = tokenizer.decode(text_ids,
+                                              skip_special_tokens=False)
+        return result

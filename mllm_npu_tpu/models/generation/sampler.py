@@ -1,0 +1,191 @@
+"""Jit-compiled autoregressive decoding for the MLLM assemblies.
+
+Replaces HF ``model.generate`` (reference call sites:
+mllm_npu/models/mllm.py:198-207, 445-451) with a TPU-native design:
+prefill (one forward over the prompt, flash attention) + a
+``lax.while_loop`` decode over a preallocated static KV cache — the
+jit-compatible equivalent of the reference's DynamicCache decode loop.
+
+Includes:
+- greedy / temperature / top-p sampling (reference generation_config:
+  mllm.py:169-175 — do_sample=False ⇒ greedy is the parity mode)
+- :class:`ImageTokenLadderProcessor` — functional port of
+  ``AutoImageTokenGenerationProcessor`` (reference mllm.py:18-43): once
+  ``<img>`` is emitted, force-decode the full ``<img_00000>…<img_00063>
+  </img>`` ladder; otherwise suppress bare image tokens.
+- hidden-state capture for every decoded position, so SEED can extract
+  the 64-token windows before each ``</img>`` for the de-tokenizer
+  (reference mllm.py:458-476).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    max_new_tokens: int = 120
+    temperature: float = 0.7
+    top_p: float = 0.5
+    do_sample: bool = False       # reference parity default: greedy
+    eos_token_id: int = -1
+    pad_token_id: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageTokenLadder:
+    """Token ids of [<img>, <img_00000>, ..., <img_NNNNN>, </img>]."""
+    ids: tuple
+
+    @property
+    def boi(self) -> int:
+        return self.ids[0]
+
+    @property
+    def eoi(self) -> int:
+        return self.ids[-1]
+
+
+def ladder_from_tokenizer(tokenizer, num_img_gen_tokens: int = 64
+                          ) -> ImageTokenLadder:
+    from mllm_npu_tpu.constant import BOI_TOKEN, EOI_TOKEN, IMG_TOKEN
+    text = "".join([BOI_TOKEN] + [IMG_TOKEN.format(i)
+                                  for i in range(num_img_gen_tokens)]
+                   + [EOI_TOKEN])
+    ids = tokenizer.encode(text, add_special_tokens=False)
+    assert len(ids) == num_img_gen_tokens + 2, (
+        "image ladder tokens must each encode to one id")
+    return ImageTokenLadder(ids=tuple(ids))
+
+
+def apply_image_ladder(logits: jax.Array, last_token: jax.Array,
+                       ladder: ImageTokenLadder) -> jax.Array:
+    """Vectorized AutoImageTokenGenerationProcessor semantics
+    (reference mllm.py:28-43): if the last token is in the ladder (except
+    its final ``</img>``), force the successor; else zero out non-initial
+    ladder tokens so they are never sampled spontaneously."""
+    ladder_ids = jnp.asarray(ladder.ids, jnp.int32)          # [L]
+    prev_ids = ladder_ids[:-1]                               # [L-1]
+    next_ids = ladder_ids[1:]                                # [L-1]
+
+    # match: is last_token one of prev_ids?  [B, L-1]
+    eq = last_token[:, None] == prev_ids[None, :]
+    in_ladder = eq.any(axis=-1)                              # [B]
+    forced_next = (eq.astype(jnp.int32)
+                   * next_ids[None, :]).sum(axis=-1)         # [B]
+
+    B, V = logits.shape
+    # suppression: zero out ladder[1:] (reference sets scores to 0.0 —
+    # with raw logits the analogue is a large negative bias)
+    suppress = jnp.zeros((V,), bool).at[next_ids].set(True)
+    suppressed = jnp.where(suppress[None, :], NEG_INF, logits)
+
+    # forcing: one-hot max
+    row_max = logits.max(axis=-1, keepdims=True)
+    forced = jnp.where(
+        jax.nn.one_hot(forced_next, V, dtype=bool),
+        row_max + 10.0, NEG_INF)
+
+    return jnp.where(in_ladder[:, None], forced, suppressed)
+
+
+def _sample(logits: jax.Array, rng: jax.Array, cfg: SamplingConfig
+            ) -> jax.Array:
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    # top-p nucleus filtering
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > cfg.top_p
+    cutoff_val = jnp.where(cutoff_mask, -jnp.inf,
+                           sorted_logits).min(axis=-1, keepdims=True)
+    filtered = jnp.where(logits < cutoff_val, NEG_INF, logits)
+    return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+
+
+def decode_loop(step_fn: Callable, cache: Any, first_token: jax.Array,
+                first_hidden: jax.Array, rng: jax.Array,
+                cfg: SamplingConfig,
+                ladder: Optional[ImageTokenLadder] = None):
+    """Generic decode loop.
+
+    step_fn(token [B,1], cache) -> (logits [B,V], hidden [B,D], cache).
+    Returns (tokens [B, T], hiddens [B, T, D], done_mask).
+    first_token/first_hidden come from the prefill step.
+    """
+    B = first_token.shape[0]
+    T = cfg.max_new_tokens
+    Dh = first_hidden.shape[-1]
+
+    tokens0 = jnp.zeros((B, T), jnp.int32)
+    hidden0 = jnp.zeros((B, T, Dh), first_hidden.dtype)
+    tokens0 = tokens0.at[:, 0].set(first_token)
+    hidden0 = hidden0.at[:, 0].set(first_hidden)
+    done0 = (first_token == cfg.eos_token_id)
+
+    def cond(state):
+        t, tokens, hidden, cache, done, rng = state
+        return jnp.logical_and(t < T, ~done.all())
+
+    def body(state):
+        t, tokens, hidden, cache, done, rng = state
+        cur = jax.lax.dynamic_slice_in_dim(tokens, t - 1, 1, axis=1)
+        logits, h, cache = step_fn(cur, cache)
+        if ladder is not None:
+            logits = apply_image_ladder(logits, cur[:, 0], ladder)
+        rng, sub = jax.random.split(rng)
+        nxt = _sample(logits, sub, cfg)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
+        hidden = jax.lax.dynamic_update_slice(
+            hidden, h[:, None, :].astype(hidden.dtype), (0, t, 0))
+        done = jnp.logical_or(done, nxt == cfg.eos_token_id)
+        return (t + 1, tokens, hidden, cache, done, rng)
+
+    state = (jnp.asarray(1, jnp.int32), tokens0, hidden0, cache, done0, rng)
+    _, tokens, hidden, cache, done, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, hidden, done
+
+
+def extract_img_windows(tokens: jax.Array,     # [T] generated ids
+                        hiddens: jax.Array,    # [T, D]
+                        eoi_token_id: int,
+                        num_img_gen_tokens: int,
+                        max_imgs: int,
+                        boi_token_id: Optional[int] = None):
+    """Static-shape port of the reference's per-image hidden-window
+    extraction (mllm.py:462-476): for each ``</img>`` at index e, take
+    hiddens[e-n : e]. Returns (windows [max_imgs, n, D], valid [max_imgs],
+    text_mask [T])."""
+    T, D = hiddens.shape
+    is_eoi = tokens == eoi_token_id
+    # indices of first `max_imgs` eoi positions, in order
+    order = jnp.argsort(jnp.logical_not(is_eoi), stable=True)[:max_imgs]
+    valid = jnp.take(is_eoi, order)
+    starts = jnp.clip(order - num_img_gen_tokens, 0, T - 1)
+
+    def take_window(s):
+        return jax.lax.dynamic_slice_in_dim(hiddens, s, num_img_gen_tokens,
+                                            axis=0)
+
+    windows = jax.vmap(take_window)(starts)     # [max_imgs, n, D]
+
+    # text mask: drop ladder tokens (img window + eoi + boi positions)
+    pos = jnp.arange(T)
+    in_window = ((pos[None, :] >= starts[:, None])
+                 & (pos[None, :] < order[:, None])
+                 & valid[:, None]).any(axis=0)
+    text_mask = ~(in_window | is_eoi)
+    if boi_token_id is not None:
+        text_mask = text_mask & (tokens != boi_token_id)
+    return windows, valid, text_mask

