@@ -49,6 +49,15 @@ class LlamaConfig:
     attention_impl: str = "auto"              # auto | flash | eager
     remat: bool = False
     scan_layers: bool = True
+    # LoRA (peft parity — reference: peft_models.py:15-99 + LoraConfig in
+    # configs/models/*.yaml: r=32, alpha=32, targets = all proj matrices).
+    # lora_dropout is accepted for config parity but not applied (the
+    # reference trains with 0.05; dropout needs an rng plumb-through that
+    # lands with the trainer's rngs arg).
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj",
+                           "gate_proj", "up_proj", "down_proj")
 
     @property
     def head_dim(self) -> int:
@@ -78,6 +87,49 @@ class LlamaConfig:
                    max_position_embeddings=2048, **kw)
 
 
+class LoRADense(nn.Module):
+    """Dense + low-rank adapter (peft.LoraConfig parity). Base kernel under
+    'base/kernel'; adapters 'lora_a'/'lora_b' (B initialized to zero so the
+    wrapped model starts identical to the base)."""
+    features: int
+    rank: int
+    alpha: float
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="base")(x)
+        a = self.param("lora_a", nn.initializers.he_uniform(),
+                       (x.shape[-1], self.rank), self.param_dtype)
+        b = self.param("lora_b", nn.initializers.zeros,
+                       (self.rank, self.features), self.param_dtype)
+        scale = self.alpha / self.rank
+        delta = (x @ a.astype(x.dtype)) @ b.astype(x.dtype)
+        return y + delta * scale
+
+
+def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
+    """Returns dense(features, name) honoring the LoRA config."""
+    def dense(features, name):
+        if cfg.lora_rank > 0 and name in cfg.lora_targets:
+            return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
+                             dtype=dtype, param_dtype=param_dtype, name=name)
+        return nn.Dense(features, use_bias=False, dtype=dtype,
+                        param_dtype=param_dtype, name=name)
+    return dense
+
+
+def lora_frozen_patterns() -> tuple:
+    """Optimizer freeze patterns for LoRA training: freeze every base/
+    kernel; train lora_a/lora_b + layernorms (+ embeddings for the
+    resize-embedding recipe) — matches the reference's modules_to_save
+    (configs/models/*.yaml: input_layernorm, post_attention_layernorm,
+    norm)."""
+    return (r"/base/kernel$",)
+
+
 def init_cache(config: LlamaConfig, batch_size: int, max_len: int,
                dtype=jnp.bfloat16) -> dict:
     """Preallocated KV cache (static shapes for jit'd decode)."""
@@ -98,9 +150,7 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        dense = lambda f, name: nn.Dense(
-            f, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+        dense = _dense_factory(cfg, self.dtype, self.param_dtype)
         gate = dense(cfg.intermediate_size, "gate_proj")(x)
         up = dense(cfg.intermediate_size, "up_proj")(x)
         return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
@@ -129,9 +179,7 @@ class LlamaAttention(nn.Module):
         B, S, _ = x.shape
         H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-        dense = lambda f, name: nn.Dense(
-            f, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+        dense = _dense_factory(cfg, self.dtype, self.param_dtype)
         q = dense(H * D, "q_proj")(x).reshape(B, S, H, D)
         k = dense(Hkv * D, "k_proj")(x).reshape(B, S, Hkv, D)
         v = dense(Hkv * D, "v_proj")(x).reshape(B, S, Hkv, D)

@@ -21,12 +21,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # A leading scan axis (from nn.scan stacking) is detected by ndim
 # mismatch and padded with None.
 LLAMA_RULES: list[tuple[str, P]] = [
-    (r"embed_tokens/embedding$",            P("tensor", "fsdp")),
-    (r"(q_proj|k_proj|v_proj)/kernel$",     P("fsdp", "tensor")),
-    (r"o_proj/kernel$",                     P("tensor", "fsdp")),
-    (r"(gate_proj|up_proj)/kernel$",        P("fsdp", "tensor")),
-    (r"down_proj/kernel$",                  P("tensor", "fsdp")),
-    (r"lm_head/kernel$",                    P("fsdp", "tensor")),
+    (r"embed_tokens/embedding$",                      P("tensor", "fsdp")),
+    (r"(q_proj|k_proj|v_proj)(/base)?/kernel$",       P("fsdp", "tensor")),
+    (r"o_proj(/base)?/kernel$",                       P("tensor", "fsdp")),
+    (r"(gate_proj|up_proj)(/base)?/kernel$",          P("fsdp", "tensor")),
+    (r"down_proj(/base)?/kernel$",                    P("tensor", "fsdp")),
+    (r"lm_head/kernel$",                              P("fsdp", "tensor")),
+    (r"lora_a$",                                      P("fsdp", None)),
+    (r"lora_b$",                                      P(None, "fsdp")),
     (r"(input_layernorm|post_attention_layernorm|norm)/weight$", P()),
 ]
 
