@@ -61,7 +61,13 @@ TARGET_TRANSLATION = {
         "mllm_npu_tpu.models.factory.get_full_model_with_resize_embedding",
     "mllm_npu.data.processor.init_processor":
         "mllm_npu_tpu.data.processor.init_processor",
+    # peft.LoraConfig nodes become plain dicts consumed by our factories
+    "peft.LoraConfig": "mllm_npu_tpu.configs.passthrough_dict",
 }
+
+
+def passthrough_dict(**kw) -> dict:
+    return kw
 
 _SPECIAL_KEYS = ("_target_", "_recursive_", "_convert_", "_partial_")
 
