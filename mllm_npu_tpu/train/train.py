@@ -1,0 +1,265 @@
+"""Training CLI (pretrain / SFT).
+
+Drop-in workflow parity with the reference trainer
+(reference train/train.py:46-126 dataclass args, :183-408 loop), with
+the Accelerate/DeepSpeed machinery replaced by one pjit-compiled step
+over a (data, fsdp, tensor) mesh:
+
+  python -m mllm_npu_tpu.train.train \
+      --model mllm_npu_tpu/configs/models/mllm_llama3_8b_siglip_vit.yaml \
+      --train_dataset mllm_npu_tpu/configs/dataset/pretrain_data.yaml \
+      --output_dir out --max_steps 100000 --save_steps 1000 \
+      --learning_rate 1e-4 --lr_scheduler_type cosine --warmup_steps 500
+
+Differences from the reference, by design:
+- no per-step empty_cache() hack (reference train.py:379 — XLA manages
+  memory), no NCCL/HCCL env tuning (GSPMD inserts collectives)
+- losses come out globally reduced — no manual all_gather metric dance
+  (reference train.py:39-43,145-154)
+- data position is checkpointed alongside model state (the reference
+  only reseeds, train.py:318-323)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger("mllm_npu_tpu.train")
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    # config paths (reference ConfigPathArguments, train.py:47-57)
+    model: str = ""
+    train_dataset: str = ""
+    tokenizer: str = ""
+    # optimization (reference TrainingArguments, train.py:61-126)
+    output_dir: str = "output"
+    resume_from_checkpoint: str = ""
+    resume_steps: int = 0
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
+    mixed_precision: str = "bf16"
+    num_train_epochs: int = 10
+    max_steps: int = 100_000
+    save_steps: int = 1000
+    log_steps: int = 10
+    lr_scheduler_type: str = "cosine"
+    warmup_steps: int = 500
+    min_lr_ratio: float = 0.05
+    # mesh (replaces deepspeed/fsdp plugin args, train.py:54-55)
+    mesh_data: int = -1
+    mesh_fsdp: int = 1
+    mesh_tensor: int = 1
+    # observability
+    project_name: str = "mllm_tpu"
+    run_name: str = ""
+    profile_steps: int = 0     # capture a jax.profiler trace at this step
+    # testing hooks
+    fake_tokenizer: bool = False
+
+
+def parse_args(argv=None) -> TrainArgs:
+    p = argparse.ArgumentParser()
+    for f in dataclasses.fields(TrainArgs):
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(f"--{f.name}", action="store_true")
+        else:
+            p.add_argument(f"--{f.name}", type=type(f.default),
+                           default=f.default)
+    ns = p.parse_args(argv)
+    return TrainArgs(**vars(ns))
+
+
+def build_tokenizer(args: TrainArgs, cfg: dict):
+    if args.fake_tokenizer:
+        from mllm_npu_tpu.utils.testing import FakeTokenizer
+        return FakeTokenizer()
+    from mllm_npu_tpu.configs import instantiate
+    node = cfg["mllm"]["tokenizer"]
+    if args.tokenizer:
+        node = dict(node)
+        node["pretrained_model_name_or_path"] = args.tokenizer
+    return instantiate(node)
+
+
+def trainable_params_report(params) -> str:
+    leaves = jax.tree_util.tree_leaves(params)
+    total = sum(int(np.prod(x.shape)) for x in leaves)
+    return f"total params: {total / 1e6:.2f}M"
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+
+    from mllm_npu_tpu.configs import instantiate, load_config
+    from mllm_npu_tpu.data.datapipes import build_multi_datapipes
+    from mllm_npu_tpu.data.dataloader import DataLoader
+    from mllm_npu_tpu.models.factory import init_assembly_params
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.parallel.mesh import maybe_init_distributed
+    from mllm_npu_tpu.train.checkpoint import (CheckpointManager,
+                                               install_sigterm_checkpoint)
+    from mllm_npu_tpu.train.train_state import (OptimizerConfig,
+                                                compile_train_step,
+                                                create_train_state,
+                                                make_train_step,
+                                                shard_train_state)
+
+    maybe_init_distributed()
+    mesh = build_mesh(MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                                 tensor=args.mesh_tensor))
+    log.info("mesh: %s", dict(mesh.shape))
+
+    # ---- model ------------------------------------------------------------
+    model_cfg = load_config(args.model)
+    tokenizer = build_tokenizer(args, model_cfg)
+    llm_bundle = instantiate(model_cfg["mllm"]["language_model"])
+    bundle = instantiate(model_cfg["mllm"]["mllm_model"],
+                         language_model=llm_bundle)
+    model = bundle.module
+
+    # ---- data -------------------------------------------------------------
+    processor = instantiate(model_cfg["mllm"]["processor"]) \
+        if "processor" in model_cfg["mllm"] else None
+    ds_cfg = load_config(args.train_dataset)
+
+    def pipe_factory(seed):
+        return build_multi_datapipes(
+            ds_cfg["datapipes"], tokenizer=tokenizer,
+            image_transform=processor,
+            sample_weights=ds_cfg.get("sample_weights"), seed=seed)
+
+    loader = DataLoader(pipe_factory, prefetch=4)
+    data_iter = iter(loader)
+    first_batch = next(data_iter)
+    example = {k: v for k, v in first_batch.items()
+               if isinstance(v, np.ndarray)}
+    example.setdefault("patch_positions", None)
+    example = _normalize_batch(example)
+
+    # ---- params / state ---------------------------------------------------
+    params = init_assembly_params(bundle, example, jax.random.PRNGKey(42))
+    log.info(trainable_params_report(params))
+    opt_cfg = OptimizerConfig(
+        lr=args.learning_rate, weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        scheduler=args.lr_scheduler_type, warmup_steps=args.warmup_steps,
+        total_steps=args.max_steps, min_lr_ratio=args.min_lr_ratio)
+    state = create_train_state(params, opt_cfg)
+    del params
+
+    def loss_fn(p, batch):
+        out = model.apply(p, **batch)
+        metrics = {k: v for k, v in out.items() if k != "total_loss"}
+        return out["total_loss"], metrics
+
+    ga = args.gradient_accumulation_steps
+    step_fn = make_train_step(loss_fn, grad_accum=ga)
+    batch_for_compile = example if ga == 1 else jax.tree_util.tree_map(
+        lambda x: np.stack([x] * ga), example)
+    jitted, state_sharding, batch_shardings = compile_train_step(
+        step_fn, state, batch_for_compile, mesh)
+    state = shard_train_state(state, state_sharding)
+
+    # ---- resume -----------------------------------------------------------
+    ckpt_dir = args.resume_from_checkpoint or args.output_dir
+    mgr = CheckpointManager(ckpt_dir)
+    state, data_state, resumed_step = mgr.restore(state)
+    start_step = int(resumed_step or args.resume_steps or 0)
+    if data_state:
+        loader.load_state_dict(data_state)
+    if resumed_step:
+        log.info("resumed from checkpoint-%d", resumed_step)
+
+    def save(step):
+        mgr.save(step, state, data_state=loader.state_dict())
+
+    install_sigterm_checkpoint(lambda: (save(int(state.step)), mgr.wait()))
+
+    # ---- metrics ----------------------------------------------------------
+    writer = None
+    if jax.process_index() == 0:
+        try:
+            from flax.metrics import tensorboard
+            writer = tensorboard.SummaryWriter(
+                str(Path(args.output_dir) / "tb"))
+        except Exception:  # noqa: BLE001
+            pass
+
+    # ---- loop -------------------------------------------------------------
+    micro = []
+    t0 = time.time()
+    step = start_step
+    while step < args.max_steps:
+        try:
+            batch = next(data_iter)
+        except StopIteration:
+            data_iter = iter(loader)
+            continue
+        batch = _normalize_batch(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)})
+        if ga > 1:
+            micro.append(batch)
+            if len(micro) < ga:
+                continue
+            batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *micro)
+            micro = []
+        batch = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), batch, batch_shardings)
+
+        if args.profile_steps and step == args.profile_steps:
+            jax.profiler.start_trace(str(Path(args.output_dir) / "profile"))
+        state, loss, metrics = jitted(state, batch)
+        if args.profile_steps and step == args.profile_steps:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+
+        step += 1
+        if step % args.log_steps == 0:
+            loss_v = float(loss)
+            dt = (time.time() - t0) / args.log_steps
+            t0 = time.time()
+            msg = {"step": step, "loss": round(loss_v, 4),
+                   "sec/step": round(dt, 3)}
+            for k, v in metrics.items():
+                msg[k] = round(float(v), 4)
+            log.info(json.dumps(msg))
+            if writer is not None:
+                writer.scalar("loss", loss_v, step)
+                for k, v in metrics.items():
+                    writer.scalar(k, float(v), step)
+        if step % args.save_steps == 0:
+            save(step)
+
+    save(step)
+    mgr.wait()
+    mgr.close()
+    log.info("training done at step %d", step)
+
+
+def _normalize_batch(batch: dict) -> dict:
+    """Map data-layer key names onto the model signature."""
+    out = dict(batch)
+    if "patch_position" in out:
+        out["patch_positions"] = out.pop("patch_position")
+    out.pop("images_patch_length", None)
+    out.pop("image_size", None)
+    out.pop("dataset_name", None)
+    return out
+
+
+if __name__ == "__main__":
+    main()
