@@ -132,6 +132,9 @@ class MLLMGenerator:
     def generate(self, input_ids, *, images=None, embeds_cmp_mask=None,
                  ids_cmp_mask=None, patch_positions=None, rng=None,
                  num_img_gen_tokens: int = 64, max_gen_imgs: int = 4):
+        # a window can never exceed the decode budget
+        num_img_gen_tokens = min(num_img_gen_tokens,
+                                 self.sampling.max_new_tokens)
         """input_ids: [B, Sp] (unpadded, equal lengths per batch).
 
         Returns dict with generated ids [B, T], per-step hidden states,

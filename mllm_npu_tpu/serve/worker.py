@@ -1,0 +1,204 @@
+"""Model worker: loads the MLLM stack, registers with the controller,
+heartbeats, and serves /worker_generate with b'\\0'-delimited streaming
+JSON (reference serve/worker.py; aiohttp instead of FastAPI).
+
+Concurrency: an asyncio.Semaphore bounds in-flight generations
+(reference worker.py:360-371); jit'd model calls run in a thread
+executor so the event loop keeps serving heartbeats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import logging
+import threading
+import time
+import uuid
+from typing import Optional
+
+import aiohttp
+from aiohttp import web
+
+from mllm_npu_tpu.serve.serve_utils import build_logger, server_error_msg
+
+logger = logging.getLogger("model_worker")
+
+WORKER_HEART_BEAT_INTERVAL = 15
+
+
+class ModelWorker:
+    def __init__(self, controller_addr: str, worker_addr: str,
+                 worker_id: str, model_name: str, engine,
+                 no_register: bool = False,
+                 limit_model_concurrency: int = 5):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = worker_id
+        self.model_name = model_name
+        self.engine = engine
+        self.limit_model_concurrency = limit_model_concurrency
+        self.semaphore: Optional[asyncio.Semaphore] = None
+        self.global_counter = 0
+        if not no_register:
+            self.register_to_controller()
+            self.heart_beat_thread = threading.Thread(
+                target=self.heart_beat_worker, daemon=True)
+            self.heart_beat_thread.start()
+
+    # -- controller protocol -------------------------------------------------
+
+    def register_to_controller(self) -> None:
+        import requests
+        logger.info("register to controller")
+        url = self.controller_addr + "/register_worker"
+        data = {"worker_name": self.worker_addr, "check_heart_beat": True,
+                "worker_status": self.get_status()}
+        r = requests.post(url, json=data, timeout=5)
+        assert r.status_code == 200
+
+    def heart_beat_worker(self) -> None:
+        import requests
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            url = self.controller_addr + "/receive_heart_beat"
+            exist = True
+            while True:
+                try:
+                    r = requests.post(url, json={
+                        "worker_name": self.worker_addr,
+                        "queue_length": self.get_queue_length()},
+                        timeout=5)
+                    exist = r.json()["exist"]
+                    break
+                except Exception as e:  # noqa: BLE001 — retry forever
+                    logger.error("heartbeat error: %s", e)
+                time.sleep(5)
+            if not exist:
+                self.register_to_controller()
+
+    def get_queue_length(self) -> int:
+        if self.semaphore is None:
+            return 0
+        return (self.limit_model_concurrency
+                - (self.semaphore._value if self.semaphore._value
+                   is not None else 0))
+
+    def get_status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.get_queue_length()}
+
+    # -- generation ----------------------------------------------------------
+
+    def generate_gate(self, params: dict):
+        """Synchronous generator of b'\\0'-delimited JSON chunks with the
+        reference's error-code contract (worker.py:322-346)."""
+        try:
+            if not params.get("image_gen"):
+                text = self.engine.comprehension(params["input_text"],
+                                                 params["image"])
+                yield json.dumps({"text": text,
+                                  "error_code": 0}).encode() + b"\0"
+            else:
+                image_b64 = self.engine.generation(params["input_text"])
+                yield json.dumps({"text": "generate successed.",
+                                  "image": image_b64,
+                                  "error_code": 0}).encode() + b"\0"
+        except ValueError as e:
+            logger.exception("ValueError in generate")
+            yield json.dumps({"text": server_error_msg,
+                              "error_code": 1}).encode() + b"\0"
+        except Exception as e:  # noqa: BLE001
+            logger.exception("error in generate")
+            yield json.dumps({"text": server_error_msg,
+                              "error_code": 3}).encode() + b"\0"
+
+
+def create_app(worker: ModelWorker) -> web.Application:
+    app = web.Application()
+
+    async def worker_generate(request: web.Request):
+        params = await request.json()
+        worker.global_counter += 1
+        if worker.semaphore is None:
+            worker.semaphore = asyncio.Semaphore(
+                worker.limit_model_concurrency)
+        await worker.semaphore.acquire()
+        resp = web.StreamResponse()
+        await resp.prepare(request)
+        loop = asyncio.get_event_loop()
+        try:
+            def run():
+                return list(worker.generate_gate(params))
+            chunks = await loop.run_in_executor(None, run)
+            for chunk in chunks:
+                await resp.write(chunk)
+        finally:
+            worker.semaphore.release()
+        return resp
+
+    async def worker_get_status(request: web.Request):
+        return web.json_response(worker.get_status())
+
+    app.router.add_post("/worker_generate", worker_generate)
+    app.router.add_post("/worker_get_status", worker_get_status)
+    return app
+
+
+def load_engine_from_config(model_config_path: str,
+                            max_new_tokens: int = 512):
+    """Build the InferenceEngine from a model YAML (the worker-side
+    analogue of reference worker.py:65-109's model stack load)."""
+    import jax
+
+    from mllm_npu_tpu.configs import instantiate, load_config
+    from mllm_npu_tpu.models.factory import init_assembly_params
+    from mllm_npu_tpu.serve.engine import InferenceEngine
+    from mllm_npu_tpu.utils.testing import synthetic_batch, TinySpec
+
+    cfg = load_config(model_config_path)
+    llm = instantiate(cfg["mllm"]["language_model"])
+    bundle = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
+    tokenizer = instantiate(cfg["mllm"]["tokenizer"])
+    processor = instantiate(cfg["mllm"]["processor"])
+
+    vis_cfg = bundle.module.vision_encoder.config
+    nq = bundle.module.projector.num_queries
+    spec = TinySpec(batch=1, seq=8 + 2 * (nq + 2),
+                    image_size=vis_cfg.image_size, nq=nq,
+                    vocab=llm.config.vocab_size, max_images=2)
+    example = synthetic_batch(spec, cmp_images=1)
+    params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
+    return InferenceEngine(
+        model=bundle.module, lm_config=llm.config, params=params,
+        tokenizer=tokenizer, image_transform=processor,
+        num_img_in_tokens=nq, num_img_out_tokens=nq,
+        max_new_tokens=max_new_tokens)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=40000)
+    parser.add_argument("--worker-address", type=str,
+                        default="http://localhost:40000")
+    parser.add_argument("--controller-address", type=str,
+                        default="http://localhost:10075")
+    parser.add_argument("--model-name", type=str, default="seed-x")
+    parser.add_argument("--model-config", type=str, required=True)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--no-register", action="store_true")
+    args = parser.parse_args()
+    build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
+    engine = load_engine_from_config(args.model_config)
+    worker = ModelWorker(args.controller_address, args.worker_address,
+                         uuid.uuid4().hex[:6], args.model_name, engine,
+                         no_register=args.no_register,
+                         limit_model_concurrency=args.limit_model_concurrency)
+    web.run_app(create_app(worker), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Serving tests: controller registry/dispatch/expiry; worker generate
+roundtrip with a tiny engine; controller→worker streaming proxy."""
+
+import asyncio
+import base64
+import io
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+from PIL import Image
+
+from mllm_npu_tpu.serve import controller as controller_mod
+from mllm_npu_tpu.serve import worker as worker_mod
+from mllm_npu_tpu.serve.controller import Controller
+from mllm_npu_tpu.serve.engine import InferenceEngine
+from mllm_npu_tpu.serve.worker import ModelWorker
+from mllm_npu_tpu.utils.testing import (FakeTokenizer, TinySpec,
+                                        build_tiny_mllm, synthetic_batch)
+
+
+def _tiny_engine():
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, vis_cfg = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    tok = FakeTokenizer()
+
+    from mllm_npu_tpu.data.processor import ImageProcessor
+    proc = ImageProcessor(height=56, width=56)
+    return InferenceEngine(
+        model=model, lm_config=lm_cfg, params=params, tokenizer=tok,
+        image_transform=proc, resolution_grids=("1x1",),
+        base_resolution=448, num_img_in_tokens=4, num_img_out_tokens=4,
+        max_new_tokens=4, cache_dtype=jnp.float32)
+
+
+def _img_b64():
+    buf = io.BytesIO()
+    Image.new("RGB", (500, 500), (120, 50, 60)).save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_controller_registry_and_dispatch():
+    c = Controller("shortest_queue")
+    c.register_worker("http://w1", True,
+                      {"model_names": ["m"], "speed": 1, "queue_length": 0})
+    c.register_worker("http://w2", True,
+                      {"model_names": ["m"], "speed": 1, "queue_length": 5})
+    assert c.list_models() == ["m"]
+    assert c.get_worker_address("m") == "http://w1"
+    assert c.get_worker_address("nope") == ""
+    # stale expiry
+    c.worker_info["http://w1"].last_heart_beat = time.time() - 100
+    c.remove_stale_workers()
+    assert "http://w1" not in c.worker_info
+    assert c.receive_heart_beat("http://w2", 3)
+    assert not c.receive_heart_beat("gone", 0)
+
+
+def test_engine_comprehension_runs():
+    eng = _tiny_engine()
+    text = eng.comprehension("what is this?", _img_b64())
+    assert isinstance(text, str)
+
+
+def test_worker_and_controller_http():
+    eng = _tiny_engine()
+
+    async def run():
+        w = ModelWorker("http://unused", "http://worker", "id0", "tiny",
+                        eng, no_register=True)
+        wapp = worker_mod.create_app(w)
+        wserver = TestServer(wapp)
+        wclient = TestClient(wserver)
+        await wclient.start_server()
+
+        # direct worker generate
+        resp = await wclient.post("/worker_generate", json={
+            "input_text": "hi", "image": _img_b64(), "image_gen": False})
+        body = await resp.read()
+        msg = json.loads(body.split(b"\0")[0])
+        assert msg["error_code"] == 0
+
+        # status
+        resp = await wclient.post("/worker_get_status")
+        status = await resp.json()
+        assert status["model_names"] == ["tiny"]
+
+        # controller proxying to the worker
+        c = Controller("shortest_queue")
+        capp = controller_mod.create_app(c)
+        cserver = TestServer(capp)
+        cclient = TestClient(cserver)
+        await cclient.start_server()
+
+        worker_url = str(wclient.make_url("")).rstrip("/")
+        await cclient.post("/register_worker", json={
+            "worker_name": worker_url, "check_heart_beat": False,
+            "worker_status": {"model_names": ["tiny"], "speed": 1,
+                              "queue_length": 0}})
+        resp = await cclient.post("/list_models")
+        assert (await resp.json())["models"] == ["tiny"]
+
+        resp = await cclient.post("/worker_generate", json={
+            "model": "tiny", "input_text": "hi", "image": _img_b64(),
+            "image_gen": False})
+        body = await resp.read()
+        msg = json.loads(body.split(b"\0")[0])
+        assert msg["error_code"] == 0
+
+        await cclient.close()
+        await wclient.close()
+
+    asyncio.run(run())
+
+
+def test_worker_error_contract():
+    eng = _tiny_engine()
+    w = ModelWorker("http://unused", "http://worker", "id0", "tiny", eng,
+                    no_register=True)
+    chunks = list(w.generate_gate({"input_text": "x", "image_gen": True}))
+    msg = json.loads(chunks[0].rstrip(b"\0"))
+    assert msg["error_code"] in (1, 3)   # no adapter loaded yet
