@@ -90,7 +90,7 @@ class TinySpec:
     max_images: int = 2
     image_size: int = 56
     nq: int = 4           # image tokens per image
-    vocab: int = 1024
+    vocab: int = 4096     # matches FakeTokenizer's id range
     dtype: object = jnp.float32
 
 

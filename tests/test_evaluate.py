@@ -1,0 +1,113 @@
+"""Eval harness tests with synthetic benchmark data + tiny models."""
+
+import json
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from mllm_npu_tpu.data.processor import ImageProcessor
+from mllm_npu_tpu.evaluate import mm_benchmarks as mm
+from mllm_npu_tpu.evaluate import text_benchmarks as tb
+from mllm_npu_tpu.evaluate.evaluator import EvalModel
+from mllm_npu_tpu.serve.engine import InferenceEngine
+from mllm_npu_tpu.utils.testing import (FakeTokenizer, TinySpec,
+                                        build_tiny_mllm, synthetic_batch)
+
+
+@pytest.fixture(scope="module")
+def eval_model():
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    engine = InferenceEngine(
+        model=model, lm_config=lm_cfg, params=params,
+        tokenizer=FakeTokenizer(),
+        image_transform=ImageProcessor(height=56, width=56),
+        resolution_grids=("1x1",), base_resolution=448,
+        num_img_in_tokens=4, num_img_out_tokens=4, max_new_tokens=4,
+        cache_dtype=jnp.float32)
+    return EvalModel(engine)
+
+
+def test_mmlu_flow(eval_model, tmp_path, monkeypatch):
+    import pandas as pd
+    (tmp_path / "dev").mkdir()
+    (tmp_path / "test").mkdir()
+    rows = [["What is 2+2?", "1", "2", "4", "8", "C"]] * 6
+    pd.DataFrame(rows).to_csv(tmp_path / "dev" / "math_dev.csv",
+                              header=False, index=False)
+    pd.DataFrame(rows).to_csv(tmp_path / "test" / "math_test.csv",
+                              header=False, index=False)
+    monkeypatch.chdir(tmp_path)
+    res = tb.mmlu_eval(eval_model, str(tmp_path), max_items_per_subject=2)
+    assert "math" in res and "average" in res
+    assert Path("result_mmlu.json").exists()
+
+
+def test_bbh_flow(eval_model, tmp_path, monkeypatch):
+    (tmp_path / "data").mkdir()
+    data = {"examples": [{"input": f"q{i}", "target": "yes"}
+                         for i in range(8)]}
+    (tmp_path / "data" / "logic.json").write_text(json.dumps(data))
+    monkeypatch.chdir(tmp_path)
+    res = tb.bbh_eval(eval_model, str(tmp_path), max_items_per_subject=2)
+    assert "logic" in res
+
+
+def test_mme_flow(eval_model, tmp_path, monkeypatch):
+    task = tmp_path / "color"
+    task.mkdir()
+    Image.new("RGB", (500, 500), (200, 0, 0)).save(task / "img1.jpg")
+    (task / "img1.txt").write_text(
+        "Is this image red?\tYes\nIs this image blue?\tNo\n")
+    monkeypatch.chdir(tmp_path)
+    res = mm.mme_eval(eval_model, str(tmp_path), max_items=2)
+    assert res["color"] == 2
+    out = (tmp_path / "res_mme" / "color.txt").read_text().strip().split("\n")
+    assert len(out) == 2 and out[0].count("\t") == 3
+
+
+def test_mmvet_flow(eval_model, tmp_path, monkeypatch):
+    (tmp_path / "images").mkdir()
+    Image.new("RGB", (500, 500), (0, 200, 0)).save(
+        tmp_path / "images" / "a.png")
+    meta = {"v1_0": {"imagename": "a.png", "question": "what is it?"}}
+    (tmp_path / "mm-vet.json").write_text(json.dumps(meta))
+    monkeypatch.chdir(tmp_path)
+    res = mm.mm_vet_eval(eval_model, str(tmp_path))
+    assert "v1_0" in res
+    assert Path("res_mmvet.json").exists()
+
+
+def test_seed_bench2_ranking(eval_model, tmp_path, monkeypatch):
+    img_dir = tmp_path / "cc3m-image"
+    img_dir.mkdir()
+    Image.new("RGB", (500, 500), (9, 9, 9)).save(img_dir / "x.jpg")
+    questions = [{
+        "question_id": "1", "question": "what color?",
+        "choice_a": "red", "choice_b": "blue", "choice_c": "green",
+        "choice_d": "black", "answer": "D", "data_source": "cc3m",
+        "data_id": "x.jpg", "level": "L1",
+        "subpart": "Single-Image & Text Comprehension", "version": "v1",
+    }]
+    (tmp_path / "SEED-Bench_v2_level1_2_3.json").write_text(
+        json.dumps({"questions": questions}))
+    monkeypatch.chdir(tmp_path)
+    answers, acc = mm.seed_bench2_eval(eval_model, str(tmp_path),
+                                       max_items=1)
+    assert len(answers) == 1
+    assert answers[0]["prediction"] in "ABCD"
+
+
+def test_lm_loss_ranks_sane(eval_model, tmp_path):
+    img = tmp_path / "i.jpg"
+    Image.new("RGB", (500, 500), (9, 9, 9)).save(img)
+    l1 = eval_model.lm_loss("<img>\nQuestion: hm\nAnswer: aa", [str(img)])
+    l2 = eval_model.lm_loss("<img>\nQuestion: hm\nAnswer: bb", [str(img)])
+    assert np.isfinite(l1) and np.isfinite(l2)
