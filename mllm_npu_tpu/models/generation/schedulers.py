@@ -1,0 +1,99 @@
+"""Diffusion schedulers (functional, jit-friendly).
+
+EulerDiscrete drives inference (the reference builds its pipelines with
+EulerDiscreteScheduler — demo/txt2img_generation.py:57-61); DDPM-style
+add_noise supports de-tokenizer training. Coefficients are computed in
+numpy at construction (static), steps are pure jnp — the denoise loop
+jits as a lax.fori_loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class EulerDiscreteScheduler:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    timestep_spacing: str = "leading"
+    steps_offset: int = 1
+
+    def __post_init__(self):
+        if self.beta_schedule == "scaled_linear":
+            betas = np.linspace(self.beta_start ** 0.5,
+                                self.beta_end ** 0.5,
+                                self.num_train_timesteps) ** 2
+        else:
+            betas = np.linspace(self.beta_start, self.beta_end,
+                                self.num_train_timesteps)
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        self.alphas_cumprod = alphas_cumprod
+        self.sigmas_all = np.sqrt((1 - alphas_cumprod) / alphas_cumprod)
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return float(np.sqrt(self.sigmas_all.max() ** 2 + 1))
+
+    def make_schedule(self, num_inference_steps: int):
+        """→ (timesteps [T], sigmas [T+1]) as jnp arrays."""
+        if self.timestep_spacing == "leading":
+            step = self.num_train_timesteps // num_inference_steps
+            ts = (np.arange(num_inference_steps) * step
+                  + self.steps_offset).round()[::-1].astype(np.float64)
+        else:  # linspace
+            ts = np.linspace(0, self.num_train_timesteps - 1,
+                             num_inference_steps)[::-1].astype(np.float64)
+        sig = np.interp(ts, np.arange(self.num_train_timesteps),
+                        self.sigmas_all)
+        sig = np.concatenate([sig, [0.0]])
+        return (jnp.asarray(ts, jnp.float32),
+                jnp.asarray(sig, jnp.float32))
+
+    @staticmethod
+    def scale_model_input(sample: jax.Array, sigma) -> jax.Array:
+        return sample / jnp.sqrt(sigma ** 2 + 1)
+
+    @staticmethod
+    def step(model_output: jax.Array, sample: jax.Array, sigma,
+             sigma_next) -> jax.Array:
+        """Euler step, epsilon prediction."""
+        pred_original = sample - sigma * model_output
+        derivative = (sample - pred_original) / sigma
+        return sample + derivative * (sigma_next - sigma)
+
+
+@dataclasses.dataclass
+class DDPMScheduler:
+    """Training-side q(x_t|x_0) sampling + epsilon target."""
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+
+    def __post_init__(self):
+        if self.beta_schedule == "scaled_linear":
+            betas = np.linspace(self.beta_start ** 0.5,
+                                self.beta_end ** 0.5,
+                                self.num_train_timesteps) ** 2
+        else:
+            betas = np.linspace(self.beta_start, self.beta_end,
+                                self.num_train_timesteps)
+        ac = np.cumprod(1.0 - betas)
+        self.sqrt_alphas_cumprod = jnp.asarray(np.sqrt(ac), jnp.float32)
+        self.sqrt_one_minus = jnp.asarray(np.sqrt(1 - ac), jnp.float32)
+
+    def add_noise(self, x0: jax.Array, noise: jax.Array,
+                  timesteps: jax.Array) -> jax.Array:
+        a = self.sqrt_alphas_cumprod[timesteps]
+        b = self.sqrt_one_minus[timesteps]
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        return a.reshape(shape) * x0 + b.reshape(shape) * noise
