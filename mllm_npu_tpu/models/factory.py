@@ -283,10 +283,17 @@ def build_seed(language_model: ModelBundle = None,
                output_projector: ModelBundle = None,
                freeze_vision_encoder=True, lm_loss_scale=1.0,
                rec_loss_scale=1.0, add_patch_pos=False, vit_down=False,
-               mse=False, pretrained_model_name_or_path=None,
+               mse=False, num_img_out_tokens: Optional[int] = None,
+               pretrained_model_name_or_path=None,
                pretrained_model_path=None, **kw) -> ModelBundle:
+    if num_img_out_tokens is None:
+        # production: 64 (constant.NUM_IMG_TOKENS); debug: the tiny
+        # projector's query count so masks/windows stay consistent
+        num_img_out_tokens = (projector.module.num_queries if _debug()
+                              else 64)
     lm_dim = language_model.config.hidden_size
     module = SEED(
+        num_img_out_tokens=num_img_out_tokens,
         language_model=language_model.module,
         vision_encoder=vision_encoder.module,
         projector=projector.module,

@@ -200,6 +200,11 @@ class SEED(GeneralizedMultimodalModel):
         if image_embeds is not None and ids_gen_mask is not None:
             N = image_embeds.shape[0]
             D = last_hidden.shape[-1]
+            B, S = ids_gen_mask.shape
+            assert N * self.num_img_out_tokens <= B * S, (
+                f"gen-token capacity {N}x{self.num_img_out_tokens} exceeds "
+                f"sequence budget {B}x{S}; lower max images or raise "
+                "max_length")
             targets = compact_selected(image_embeds, embeds_gen_mask)
             if self.vit_down:
                 n, L, C = targets.shape
