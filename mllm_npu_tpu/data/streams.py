@@ -18,6 +18,7 @@ import io
 import itertools
 import json
 import logging
+import os
 import random
 import re
 import tarfile
@@ -96,7 +97,17 @@ def shard_for_host(items: list, index: Optional[int] = None,
 
 def iter_tar_members(path: str) -> Iterator[tuple[str, bytes]]:
     """Yield (inner_path, bytes); swallow corrupt-shard errors
-    (reference TarArchiveLoaderWoException semantics)."""
+    (reference TarArchiveLoaderWoException semantics). Uses the native
+    C reader (native/mllm_native.cc) when built — it releases the GIL
+    so shard reading overlaps with tokenize/decode work."""
+    if os.environ.get("MLLM_TPU_NO_NATIVE") != "1":
+        try:
+            from mllm_npu_tpu.data import native
+            if native.available():
+                yield from native.iter_tar_members_native(path)
+                return
+        except Exception as e:  # noqa: BLE001 — fall back to tarfile
+            log.warning("native tar reader failed (%s); using tarfile", e)
     try:
         with tarfile.open(path, mode="r") as tar:
             for info in tar:
