@@ -290,3 +290,24 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
 def _to_pil(arr: np.ndarray) -> Image.Image:
     arr = np.clip(arr / 2 + 0.5, 0, 1)
     return Image.fromarray((arr * 255).round().astype(np.uint8))
+
+
+class SDXLText2ImageAndEditAdapter(SDXLAdapterWithLatentImage):
+    """LoRA-adapted t2i+edit variant (reference adapter_modules.py:427):
+    rank-N LoRA on the UNet's attention to_q/to_out (build the UNet with
+    ``UNetConfig(lora_rank=...)``), 8-channel conv_in, dual guidance.
+    Trainable set = resampler + LoRA params (+ first down block when
+    ``train_down_block``), expressed as optimizer freeze patterns."""
+
+    @staticmethod
+    def trainable_patterns(train_down_block: bool = True) -> tuple:
+        frozen = [r"unet/(?!.*lora_[ab]$)"]
+        if train_down_block:
+            frozen = [r"unet/(?!(down_0_|.*lora_[ab]$))"]
+        return tuple(frozen)
+
+
+class SD21Text2ImageAndEditAdapter(SDXLText2ImageAndEditAdapter):
+    """SD-2.1 flavor (reference adapter_modules.py:649): same adapter
+    over a UNetConfig.sd21() denoiser (no added-cond micro embedding);
+    single-width prompt embeds, so pair it with a plain Resampler."""

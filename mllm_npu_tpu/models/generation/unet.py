@@ -46,6 +46,11 @@ class UNetConfig:
     projection_class_embeddings_input_dim: int = 2816
     norm_num_groups: int = 32
     remat: bool = True
+    # LoRA on cross-attention projections (reference
+    # SDXLText2ImageAndEditAdapter puts rank-16 LoRA on to_q/to_out,
+    # adapter_modules.py:427-470)
+    lora_rank: int = 0
+    lora_targets: tuple = ("to_q", "to_out")
 
     @property
     def time_embed_dim(self) -> int:
@@ -151,6 +156,8 @@ class CrossAttention(nn.Module):
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
+    lora_rank: int = 0
+    lora_targets: tuple = ("to_q", "to_out")
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -158,9 +165,16 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        dense = lambda f, name, bias=False: nn.Dense(
-            f, use_bias=bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+
+        def dense(f, name, bias=False):
+            if self.lora_rank > 0 and name in self.lora_targets:
+                from mllm_npu_tpu.models.language_models.llama import (
+                    LoRADense)
+                return LoRADense(f, self.lora_rank, float(self.lora_rank),
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name=name)
+            return nn.Dense(f, use_bias=bias, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=name)
         B, L, _ = x.shape
         q = dense(inner, "to_q")(x).reshape(B, L, self.heads, self.dim_head)
         k = dense(inner, "to_k")(context).reshape(
@@ -197,6 +211,8 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     context_dim: int
+    lora_rank: int = 0
+    lora_targets: tuple = ("to_q", "to_out")
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -206,11 +222,16 @@ class BasicTransformerBlock(nn.Module):
                                        param_dtype=self.param_dtype,
                                        name=name)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               lora_rank=self.lora_rank,
+                               lora_targets=self.lora_targets,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="attn1")(ln("norm1")(x))
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               self.context_dim, dtype=self.dtype,
+                               self.context_dim,
+                               lora_rank=self.lora_rank,
+                               lora_targets=self.lora_targets,
+                               dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="attn2")(ln("norm2")(x), context)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype,
@@ -225,6 +246,8 @@ class Transformer2D(nn.Module):
     layers: int
     context_dim: int
     groups: int = 32
+    lora_rank: int = 0
+    lora_targets: tuple = ("to_q", "to_out")
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -242,8 +265,9 @@ class Transformer2D(nn.Module):
         dim_head = C // self.heads
         for i in range(self.layers):
             x = BasicTransformerBlock(C, self.heads, dim_head,
-                                      self.context_dim, self.dtype,
-                                      self.param_dtype,
+                                      self.context_dim,
+                                      self.lora_rank, self.lora_targets,
+                                      self.dtype, self.param_dtype,
                                       name=f"blocks_{i}")(x, context)
         x = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj_out")(x)
@@ -338,7 +362,8 @@ class UNet2DConditionModel(nn.Module):
                     h = tr_cls(ch, cfg.num_attention_heads[bi],
                                cfg.transformer_layers_per_block[bi],
                                cfg.cross_attention_dim,
-                               cfg.norm_num_groups, self.dtype,
+                               cfg.norm_num_groups, cfg.lora_rank,
+                               cfg.lora_targets, self.dtype,
                                self.param_dtype,
                                name=f"down_{bi}_attn_{li}")(h, context)
                 skips.append(h)
@@ -354,6 +379,7 @@ class UNet2DConditionModel(nn.Module):
         h = tr_cls(mid_ch, cfg.num_attention_heads[-1],
                    cfg.transformer_layers_per_block[-1],
                    cfg.cross_attention_dim, cfg.norm_num_groups,
+                   cfg.lora_rank, cfg.lora_targets,
                    self.dtype, self.param_dtype, name="mid_attn")(h, context)
         h = res_cls(mid_ch, cfg.norm_num_groups, self.dtype,
                     self.param_dtype, name="mid_res_1")(h, temb)
@@ -373,6 +399,7 @@ class UNet2DConditionModel(nn.Module):
                         n_blocks - 1 - bi],
                         cfg.transformer_layers_per_block[n_blocks - 1 - bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
+                        cfg.lora_rank, cfg.lora_targets,
                         self.dtype, self.param_dtype,
                         name=f"up_{bi}_attn_{li}")(h, context)
             if bi < n_blocks - 1:
