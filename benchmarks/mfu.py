@@ -1,0 +1,203 @@
+"""MFU / throughput harness for MLLM pretrain steps on real TPU chips.
+
+Measures the full train step (vision encoder + projector + LLM fwd/bwd
++ optimizer) of a configurable-size MLLM, reports tokens/sec,
+images/sec/chip, and MFU — the north-star metrics in BASELINE.md.
+
+  python benchmarks/mfu.py --preset 1b --batch 8 --seq 1024
+  python benchmarks/mfu.py --preset 8b --fsdp 4   # on a v5p-8 slice
+
+Timing uses the on-device loop-slope method (see bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+PEAK_BF16 = {
+    # per-chip peak TFLOP/s
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "cpu": 1.0,
+}
+
+
+def llama_flops_per_token(cfg) -> float:
+    """Dense decoder FLOPs/token (fwd+bwd ≈ 3× fwd, fwd ≈ 2×params-ish,
+    computed exactly from the shapes)."""
+    h, inter, L, V = (cfg.hidden_size, cfg.intermediate_size,
+                      cfg.num_hidden_layers, cfg.vocab_size)
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+    per_layer = 2 * (h * h + 2 * h * hkv + h * h)      # qkvo matmuls
+    per_layer += 2 * 3 * h * inter                     # gate/up/down
+    return L * per_layer + 2 * h * V                   # + lm head
+
+
+def attention_flops_per_token(cfg, seq: int) -> float:
+    # causal: ~ 2 * 2 * h * S / 2 per token per layer
+    return cfg.num_hidden_layers * 2 * 2 * cfg.hidden_size * seq / 2
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=["tiny", "500m", "1b", "8b"],
+                   default="500m")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=1024)
+    p.add_argument("--images", type=int, default=8)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--peak", choices=list(PEAK_BF16), default="v5e")
+    p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaConfig, LlamaForCausalLM)
+    from mllm_npu_tpu.models.mllm import GeneralizedMultimodalModel
+    from mllm_npu_tpu.models.multimodal_encoder.siglip_vit import (
+        SigLIPConfig, SigLIPVisionEncoder)
+    from mllm_npu_tpu.models.multimodal_projector.attention_resampler \
+        import AttentionResampler
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.train.train_state import (OptimizerConfig,
+                                                compile_train_step,
+                                                create_train_state,
+                                                make_train_step,
+                                                shard_train_state)
+
+    if args.preset == "tiny":
+        lm_cfg = LlamaConfig.tiny(attention_impl="auto", remat=True)
+        vis_cfg = SigLIPConfig.tiny()
+        nq, heads = 4, 4
+    elif args.preset == "500m":
+        # sized to fit one v5e chip with fp32 adam state
+        lm_cfg = LlamaConfig(
+            vocab_size=32000, hidden_size=1536, intermediate_size=4096,
+            num_hidden_layers=16, num_attention_heads=16,
+            num_key_value_heads=8, max_position_embeddings=4096,
+            attention_impl="auto", remat=True)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 16
+    elif args.preset == "1b":
+        lm_cfg = LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=16,
+            num_key_value_heads=8, max_position_embeddings=4096,
+            attention_impl="auto", remat=True)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 16
+    else:  # 8b
+        lm_cfg = LlamaConfig.llama3_8b(attention_impl="auto", remat=True)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 32
+
+    lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
+    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+    proj = AttentionResampler(grid_size=int(nq ** 0.5),
+                              embed_dim=lm_cfg.hidden_size,
+                              num_heads=heads, kv_dim=vis_cfg.hidden_size,
+                              dtype=jnp.bfloat16)
+    model = GeneralizedMultimodalModel(
+        language_model=lm, vision_encoder=vis, projector=proj,
+        freeze_vision_encoder=True, add_patch_pos=True,
+        patch_pos_dim=lm_cfg.hidden_size)
+
+    B, S, N = args.batch, args.seq, args.images
+    rs = np.random.RandomState(0)
+    ids_cmp = np.zeros((B, S), bool)
+    per_row = N // B if N >= B else 0
+    pos = 2
+    for b in range(B):
+        for i in range(per_row):
+            ids_cmp[b, pos + i * (nq + 2):pos + i * (nq + 2) + nq] = True
+    batch = {
+        "input_ids": jnp.asarray(
+            rs.randint(5, lm_cfg.vocab_size, (B, S)), jnp.int32),
+        "images": jnp.asarray(rs.randn(
+            N, vis_cfg.image_size, vis_cfg.image_size, 3), jnp.bfloat16),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(rs.randint(5, lm_cfg.vocab_size, (B, S)),
+                              jnp.int32),
+        "embeds_cmp_mask": jnp.asarray([True] * N),
+        "embeds_gen_mask": jnp.asarray([False] * N),
+        "ids_cmp_mask": jnp.asarray(ids_cmp),
+        "ids_gen_mask": jnp.zeros((B, S), bool),
+        "patch_positions": jnp.asarray(rs.rand(N, 2), jnp.float32),
+    }
+
+    mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp,
+                                 tensor=args.tensor))
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                               **batch))
+    # real init (sharded via jit out-shardings would be ideal; simple path)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    state = create_train_state(params, OptimizerConfig(
+        lr=1e-4, warmup_steps=0, total_steps=1000))
+    del params
+
+    def loss_fn(p, b):
+        out = model.apply(p, **b)
+        return out["total_loss"], {"lm_loss": out["lm_loss"]}
+
+    step = make_train_step(loss_fn)
+    jitted, state_sharding, batch_shardings = compile_train_step(
+        step, state, batch, mesh)
+    state = shard_train_state(state, state_sharding)
+    batch = jax.tree_util.tree_map(jax.device_put, batch, batch_shardings)
+
+    def run_n(n, state):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss, _ = jitted(state, batch)
+        # force completion
+        _ = float(loss)
+        return time.perf_counter() - t0, state
+
+    # warm compile
+    _, state = run_n(1, state)
+    n1, n2 = args.steps
+    t1, state = run_n(n1, state)
+    t2, state = run_n(n2, state)
+    per_step = (t2 - t1) / (n2 - n1)
+
+    n_chips = len(jax.devices())
+    tokens = B * S
+    lm_tok_flops = llama_flops_per_token(lm_cfg) \
+        + attention_flops_per_token(lm_cfg, S)
+    step_flops = 3 * lm_tok_flops * tokens        # fwd + bwd
+    vis_tokens = N * vis_cfg.num_patches
+    vis_flops = 2 * (vis_cfg.hidden_size ** 2 * 4
+                     + 2 * vis_cfg.hidden_size
+                     * vis_cfg.intermediate_size) \
+        * vis_cfg.num_hidden_layers * vis_tokens  # fwd only (frozen)
+    step_flops += vis_flops
+    peak = PEAK_BF16[args.peak] * 1e12 * n_chips
+    mfu = step_flops / per_step / peak
+
+    print(json.dumps({
+        "preset": args.preset,
+        "params_m": round(n_params / 1e6, 1),
+        "batch": B, "seq": S, "images": N, "chips": n_chips,
+        "sec_per_step": round(per_step, 4),
+        "tokens_per_sec": round(tokens / per_step),
+        "images_per_sec_per_chip": round(N / per_step / n_chips, 2),
+        "model_tflops_per_step": round(step_flops / 1e12, 2),
+        "mfu": round(mfu, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

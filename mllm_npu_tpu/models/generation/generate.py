@@ -61,12 +61,12 @@ class MLLMGenerator:
             patch_positions, method=self.model.embed_and_scatter)
 
     def _lm_forward(self, params, inputs_embeds=None, input_ids=None,
-                    cache=None, attn_mask=None):
+                    cache=None, attn_mask=None, prefill=False):
         def fwd(m, **kw):
             return m.language_model(**kw)
         return self.model.apply(
             params, inputs_embeds=inputs_embeds, input_ids=input_ids,
-            cache=cache, attn_mask=attn_mask, method=fwd)
+            cache=cache, attn_mask=attn_mask, prefill=prefill, method=fwd)
 
     def _output_project(self, params, windows):
         def proj(m, x):
@@ -102,7 +102,8 @@ class MLLMGenerator:
             am = prompt_mask[:, None, None, :].astype(bool)  # [B,1,1,Sp]
             logits, hidden, cache = self._lm_forward(
                 params, inputs_embeds=inputs_embeds, cache=cache,
-                attn_mask=None)  # right-pad-free prompts: full causal
+                attn_mask=None,  # right-pad-free prompts: full causal
+                prefill=True)    # flash over the prompt; cache write only
             del am
             last_logits = logits[:, -1].astype(jnp.float32)
             if ladder is not None:
@@ -132,13 +133,13 @@ class MLLMGenerator:
     def generate(self, input_ids, *, images=None, embeds_cmp_mask=None,
                  ids_cmp_mask=None, patch_positions=None, rng=None,
                  num_img_gen_tokens: int = 64, max_gen_imgs: int = 4):
-        # a window can never exceed the decode budget
-        num_img_gen_tokens = min(num_img_gen_tokens,
-                                 self.sampling.max_new_tokens)
         """input_ids: [B, Sp] (unpadded, equal lengths per batch).
 
         Returns dict with generated ids [B, T], per-step hidden states,
         and (for SEED) image-generation features."""
+        # a window can never exceed the decode budget
+        num_img_gen_tokens = min(num_img_gen_tokens,
+                                 self.sampling.max_new_tokens)
         input_ids = jnp.asarray(input_ids, jnp.int32)
         if input_ids.ndim == 1:
             input_ids = input_ids[None]

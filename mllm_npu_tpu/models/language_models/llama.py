@@ -174,7 +174,7 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
-                 segment_ids=None, attn_mask=None):
+                 segment_ids=None, attn_mask=None, prefill=False):
         cfg = self.config
         B, S, _ = x.shape
         H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -199,17 +199,25 @@ class LlamaAttention(nn.Module):
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
                                               (0, cache_pos, 0, 0))
             new_cache = (ck, cv)
-            k, v = ck.astype(k.dtype), cv.astype(v.dtype)
-            # decode: mask keys beyond the filled region
-            kv_len = k.shape[1]
-            kv_valid = (jax.lax.broadcasted_iota(jnp.int32, (1, kv_len), 1)
-                        < cache_pos + S)
-            am = kv_valid[:, None, None, :]  # [1,1,1,Skv]
-            if attn_mask is not None:
-                am = jnp.logical_and(am, attn_mask)
-            out = ops.multi_head_attention(
-                q, k, v, causal=True, attn_mask=am, q_offset=cache_pos,
-                impl="eager")
+            if prefill:
+                # cache starts empty at prefill: attention only spans the
+                # prompt tokens, so the flash kernel applies directly and
+                # the cache write is a pure side effect
+                out = ops.multi_head_attention(
+                    q, k, v, causal=True, segment_ids=segment_ids,
+                    attn_mask=attn_mask, impl=cfg.attention_impl)
+            else:
+                k, v = ck.astype(k.dtype), cv.astype(v.dtype)
+                # decode: mask keys beyond the filled region
+                kv_len = k.shape[1]
+                kv_valid = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, kv_len), 1) < cache_pos + S)
+                am = kv_valid[:, None, None, :]  # [1,1,1,Skv]
+                if attn_mask is not None:
+                    am = jnp.logical_and(am, attn_mask)
+                out = ops.multi_head_attention(
+                    q, k, v, causal=True, attn_mask=am, q_offset=cache_pos,
+                    impl="eager")
         else:
             out = ops.multi_head_attention(
                 q, k, v, causal=True, segment_ids=segment_ids,
@@ -227,7 +235,7 @@ class LlamaDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
-                 segment_ids=None, attn_mask=None):
+                 segment_ids=None, attn_mask=None, prefill=False):
         cfg = self.config
         attn_out, new_cache = LlamaAttention(
             cfg, self.dtype, self.param_dtype, name="self_attn")(
@@ -235,7 +243,7 @@ class LlamaDecoderLayer(nn.Module):
                         name="input_layernorm")(x),
                 positions=positions, layer_cache=layer_cache,
                 cache_pos=cache_pos, segment_ids=segment_ids,
-                attn_mask=attn_mask)
+                attn_mask=attn_mask, prefill=prefill)
         x = x + attn_out
         mlp_out = LlamaMLP(cfg, self.dtype, self.param_dtype, name="mlp")(
             RMSNorm(cfg.rms_norm_eps, self.param_dtype,
@@ -261,7 +269,7 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def _layers(self, h, positions, cache_k, cache_v, cache_pos,
-                segment_ids, attn_mask):
+                segment_ids, attn_mask, prefill=False):
         cfg = self.config
         layer_cls = LlamaDecoderLayer
         if cfg.remat:
@@ -278,7 +286,7 @@ class LlamaModel(nn.Module):
                     out, new_kv = layer(
                         h, positions=positions, layer_cache=kv,
                         cache_pos=cache_pos, segment_ids=segment_ids,
-                        attn_mask=attn_mask)
+                        attn_mask=attn_mask, prefill=prefill)
                     return out, new_kv
                 xs = (cache_k, cache_v)
             else:
@@ -308,7 +316,7 @@ class LlamaModel(nn.Module):
                     cfg, self.dtype, self.param_dtype, name=f"layers_{i}")(
                         h, positions=positions, layer_cache=lc,
                         cache_pos=cache_pos, segment_ids=segment_ids,
-                        attn_mask=attn_mask)
+                        attn_mask=attn_mask, prefill=prefill)
                 if new_kv is not None:
                     new_ks.append(new_kv[0])
                     new_vs.append(new_kv[1])
@@ -317,7 +325,8 @@ class LlamaModel(nn.Module):
             return h, None
 
     def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
-                 cache=None, segment_ids=None, attn_mask=None):
+                 cache=None, segment_ids=None, attn_mask=None,
+                 prefill=False):
         assert (input_ids is None) != (inputs_embeds is None)
         h = inputs_embeds if inputs_embeds is not None else \
             self.embed_tokens(input_ids)
@@ -335,7 +344,7 @@ class LlamaModel(nn.Module):
         cache_k = cache["k"] if cache is not None else None
         cache_v = cache["v"] if cache is not None else None
         h, new_kv = self._layers(h, positions, cache_k, cache_v, cache_pos,
-                                 segment_ids, attn_mask)
+                                 segment_ids, attn_mask, prefill=prefill)
         h = self.norm(h)
         new_cache = None
         if cache is not None:
@@ -374,10 +383,11 @@ class LlamaForCausalLM(nn.Module):
 
     def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
                  cache=None, segment_ids=None, attn_mask=None,
-                 logits_slice: Optional[int] = None):
+                 prefill=False, logits_slice: Optional[int] = None):
         h, new_cache = self.model(
             input_ids, inputs_embeds=inputs_embeds, positions=positions,
-            cache=cache, segment_ids=segment_ids, attn_mask=attn_mask)
+            cache=cache, segment_ids=segment_ids, attn_mask=attn_mask,
+            prefill=prefill)
         if logits_slice is not None:
             h_logits = h[:, -logits_slice:]
         else:

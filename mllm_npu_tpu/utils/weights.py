@@ -334,3 +334,176 @@ def merge_into(params: dict, sub: dict, path: tuple) -> dict:
 def jnp_tree_to_np(tree):
     import jax
     return jax.tree_util.tree_map(np.asarray, tree)
+
+
+# ---------------------------------------------------------------------------
+# diffusers UNet2DConditionModel / AutoencoderKL
+# ---------------------------------------------------------------------------
+
+def _lin(sd, key):
+    out = {"kernel": _t(sd[key + ".weight"]).T}
+    if key + ".bias" in sd:
+        out["bias"] = _t(sd[key + ".bias"])
+    return out
+
+
+def _conv(sd, key):
+    w = _t(sd[key + ".weight"]).transpose(2, 3, 1, 0)
+    out = {"kernel": w}
+    if key + ".bias" in sd:
+        out["bias"] = _t(sd[key + ".bias"])
+    return out
+
+
+def _gn(sd, key):
+    return {"scale": _t(sd[key + ".weight"]), "bias": _t(sd[key + ".bias"])}
+
+
+def _resnet(sd, pre):
+    out = {
+        "norm1": _gn(sd, pre + ".norm1"),
+        "conv1": _conv(sd, pre + ".conv1"),
+        "norm2": _gn(sd, pre + ".norm2"),
+        "conv2": _conv(sd, pre + ".conv2"),
+    }
+    if pre + ".time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = _lin(sd, pre + ".time_emb_proj")
+    if pre + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, pre + ".conv_shortcut")
+    return out
+
+
+def _transformer2d(sd, pre, n_layers):
+    out = {
+        "norm": _gn(sd, pre + ".norm"),
+        "proj_in": _lin(sd, pre + ".proj_in"),
+        "proj_out": _lin(sd, pre + ".proj_out"),
+    }
+    for k in range(n_layers):
+        b = f"{pre}.transformer_blocks.{k}"
+        out[f"blocks_{k}"] = {
+            "norm1": {"scale": _t(sd[b + ".norm1.weight"]),
+                      "bias": _t(sd[b + ".norm1.bias"])},
+            "norm2": {"scale": _t(sd[b + ".norm2.weight"]),
+                      "bias": _t(sd[b + ".norm2.bias"])},
+            "norm3": {"scale": _t(sd[b + ".norm3.weight"]),
+                      "bias": _t(sd[b + ".norm3.bias"])},
+            "attn1": {
+                "to_q": _lin(sd, b + ".attn1.to_q"),
+                "to_k": _lin(sd, b + ".attn1.to_k"),
+                "to_v": _lin(sd, b + ".attn1.to_v"),
+                "to_out": _lin(sd, b + ".attn1.to_out.0"),
+            },
+            "attn2": {
+                "to_q": _lin(sd, b + ".attn2.to_q"),
+                "to_k": _lin(sd, b + ".attn2.to_k"),
+                "to_v": _lin(sd, b + ".attn2.to_v"),
+                "to_out": _lin(sd, b + ".attn2.to_out.0"),
+            },
+            "ff": {
+                "proj": _lin(sd, b + ".ff.net.0.proj"),
+                "out": _lin(sd, b + ".ff.net.2"),
+            },
+        }
+    return out
+
+
+def torch_to_flax_unet(sd: Dict[str, Any], config) -> dict:
+    """diffusers UNet2DConditionModel state dict → our
+    UNet2DConditionModel params['params'] (NHWC, flattened block names).
+    """
+    cfg = config
+    tree = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embedding": {
+            "linear_1": _lin(sd, "time_embedding.linear_1"),
+            "linear_2": _lin(sd, "time_embedding.linear_2"),
+        },
+        "conv_norm_out": _gn(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+    if "add_embedding.linear_1.weight" in sd:
+        tree["add_embedding"] = {
+            "linear_1": _lin(sd, "add_embedding.linear_1"),
+            "linear_2": _lin(sd, "add_embedding.linear_2"),
+        }
+    n_blocks = len(cfg.block_out_channels)
+    for bi, btype in enumerate(cfg.down_block_types):
+        for li in range(cfg.layers_per_block):
+            tree[f"down_{bi}_res_{li}"] = _resnet(
+                sd, f"down_blocks.{bi}.resnets.{li}")
+            if btype == "CrossAttnDownBlock2D":
+                tree[f"down_{bi}_attn_{li}"] = _transformer2d(
+                    sd, f"down_blocks.{bi}.attentions.{li}",
+                    cfg.transformer_layers_per_block[bi])
+        if bi < n_blocks - 1:
+            tree[f"down_{bi}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{bi}.downsamplers.0.conv")}
+    tree["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
+    tree["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
+    tree["mid_attn"] = _transformer2d(sd, "mid_block.attentions.0",
+                                      cfg.transformer_layers_per_block[-1])
+    up_types = tuple(reversed(cfg.down_block_types))
+    for bi, btype in enumerate(up_types):
+        for li in range(cfg.layers_per_block + 1):
+            tree[f"up_{bi}_res_{li}"] = _resnet(
+                sd, f"up_blocks.{bi}.resnets.{li}")
+            if btype == "CrossAttnDownBlock2D":
+                tree[f"up_{bi}_attn_{li}"] = _transformer2d(
+                    sd, f"up_blocks.{bi}.attentions.{li}",
+                    cfg.transformer_layers_per_block[n_blocks - 1 - bi])
+        if bi < n_blocks - 1:
+            tree[f"up_{bi}_upsample"] = {
+                "conv": _conv(sd, f"up_blocks.{bi}.upsamplers.0.conv")}
+    return tree
+
+
+def _vae_attn(sd, pre):
+    # new diffusers uses to_q/to_k/to_v/to_out.0; old used query/key/value
+    names = (("to_q", "to_k", "to_v", "to_out.0")
+             if pre + ".to_q.weight" in sd
+             else ("query", "key", "value", "proj_attn"))
+    return {
+        "group_norm": _gn(sd, pre + ".group_norm"),
+        "to_q": _lin(sd, f"{pre}.{names[0]}"),
+        "to_k": _lin(sd, f"{pre}.{names[1]}"),
+        "to_v": _lin(sd, f"{pre}.{names[2]}"),
+        "to_out": _lin(sd, f"{pre}.{names[3]}"),
+    }
+
+
+def torch_to_flax_vae(sd: Dict[str, Any], config) -> dict:
+    cfg = config
+    n = len(cfg.block_out_channels)
+
+    def coder(prefix, is_encoder):
+        tree = {"conv_in": _conv(sd, prefix + ".conv_in"),
+                "conv_norm_out": _gn(sd, prefix + ".conv_norm_out"),
+                "conv_out": _conv(sd, prefix + ".conv_out"),
+                "mid_res_0": _resnet(sd, prefix + ".mid_block.resnets.0"),
+                "mid_res_1": _resnet(sd, prefix + ".mid_block.resnets.1"),
+                "mid_attn": _vae_attn(sd,
+                                      prefix + ".mid_block.attentions.0")}
+        blocks = "down_blocks" if is_encoder else "up_blocks"
+        per = cfg.layers_per_block + (0 if is_encoder else 1)
+        for bi in range(n):
+            for li in range(per):
+                name = (f"down_{bi}_res_{li}" if is_encoder
+                        else f"up_{bi}_res_{li}")
+                tree[name] = _resnet(sd,
+                                     f"{prefix}.{blocks}.{bi}.resnets.{li}")
+            if bi < n - 1:
+                if is_encoder:
+                    tree[f"down_{bi}_downsample"] = _conv(
+                        sd, f"{prefix}.{blocks}.{bi}.downsamplers.0.conv")
+                else:
+                    tree[f"up_{bi}_upsample"] = _conv(
+                        sd, f"{prefix}.{blocks}.{bi}.upsamplers.0.conv")
+        return tree
+
+    return {
+        "encoder": coder("encoder", True),
+        "decoder": coder("decoder", False),
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
