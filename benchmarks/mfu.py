@@ -56,6 +56,8 @@ def main():
     p.add_argument("--tensor", type=int, default=1)
     p.add_argument("--peak", choices=list(PEAK_BF16), default="v5e")
     p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots", "dots_no_batch"])
     args = p.parse_args()
 
     import jax
@@ -86,7 +88,8 @@ def main():
             vocab_size=32000, hidden_size=1536, intermediate_size=4096,
             num_hidden_layers=16, num_attention_heads=16,
             num_key_value_heads=8, max_position_embeddings=4096,
-            attention_impl="auto", remat=True)
+            attention_impl="auto", remat=True,
+            remat_policy=args.remat_policy)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 16
     elif args.preset == "1b":

@@ -48,6 +48,9 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     attention_impl: str = "auto"              # auto | flash | eager
     remat: bool = False
+    # remat policy: 'nothing' = full recompute (min memory);
+    # 'dots' = keep matmul outputs (faster bwd, more memory)
+    remat_policy: str = "nothing"
     scan_layers: bool = True
     # LoRA (peft parity — reference: peft_models.py:15-99 + LoraConfig in
     # configs/models/*.yaml: r=32, alpha=32, targets = all proj matrices).
@@ -273,10 +276,16 @@ class LlamaModel(nn.Module):
         cfg = self.config
         layer_cls = LlamaDecoderLayer
         if cfg.remat:
+            policy = {
+                "nothing": jax.checkpoint_policies.nothing_saveable,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch":
+                    jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            }[cfg.remat_policy]
             layer_cls = nn.remat(
                 LlamaDecoderLayer, prevent_cse=False,
                 static_argnums=(),
-                policy=jax.checkpoint_policies.nothing_saveable)
+                policy=policy)
 
         use_cache = cache_k is not None
 

@@ -37,6 +37,43 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_attention_padded(q, k, v, *, causal=False, segment_ids=None,
+                           scale=None, interpret=False):
+    """Flash attention for awkward shapes: pads seq lens to multiples of
+    128 (masking padding via segment ids) and the head dim to a lane
+    multiple (zero-padding leaves logits/outputs unchanged; the explicit
+    ``scale`` keeps softmax temperature at the true head dim). Lets the
+    ViT towers (SigLIP S=729 D=72, Qwen S=1024 D=104) ride the kernel."""
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    if scale is None:
+        scale = D ** -0.5
+    Sq_p, Sk_p = _pad_to(Sq, 128), _pad_to(Sk, 128)
+    D_p = max(_pad_to(D, 128), 128)
+
+    def pad(x, S_p):
+        return jnp.pad(x, ((0, 0), (0, S_p - x.shape[1]), (0, 0),
+                           (0, D_p - D)))
+
+    qp, kp, vp = pad(q, Sq_p), pad(k, Sk_p), pad(v, Sk_p)
+    if segment_ids is not None:
+        qseg = jnp.pad(segment_ids.q + 1, ((0, 0), (0, Sq_p - Sq)))
+        kseg = jnp.pad(segment_ids.kv + 1, ((0, 0), (0, Sk_p - Sk)))
+    else:
+        qseg = jnp.pad(jnp.ones((B, Sq), jnp.int32),
+                       ((0, 0), (0, Sq_p - Sq)))
+        kseg = jnp.pad(jnp.ones((B, Sk), jnp.int32),
+                       ((0, 0), (0, Sk_p - Sk)))
+    out = flash_attention(qp, kp, vp, causal=causal,
+                          segment_ids=SegmentIds(q=qseg, kv=kseg),
+                          scale=scale, interpret=interpret)
+    return out[:, :Sq, :, :D]
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -58,17 +95,27 @@ def multi_head_attention(
     B, Sq, Hq, D = q.shape
     Sk = k.shape[1]
     use_flash = impl == "flash"
+    use_padded = False
     if impl == "auto":
-        use_flash = (
-            (_on_tpu() or interpret)
-            and attn_mask is None
-            and isinstance(q_offset, int) and q_offset == 0
-            and Sq >= _FLASH_MIN_SEQ
-            and Sq % 128 == 0 and Sk % 128 == 0
-            and D in (64, 128, 256)
-        )
+        ok_base = ((_on_tpu() or interpret)
+                   and attn_mask is None
+                   and isinstance(q_offset, int) and q_offset == 0
+                   and Sq >= _FLASH_MIN_SEQ)
+        use_flash = (ok_base and Sq % 128 == 0 and Sk % 128 == 0
+                     and D % 128 == 0)
+        # awkward shapes (vision towers): pad into the kernel when the
+        # waste is small
+        if ok_base and not use_flash:
+            pad_waste = (_pad_to(Sq, 128) * _pad_to(Sk, 128)
+                         * max(_pad_to(D, 128), 128)) / (Sq * Sk * D)
+            use_padded = pad_waste <= 2.0
     if use_flash:
         return flash_attention(
+            q, k, v, causal=causal, segment_ids=segment_ids, scale=scale,
+            interpret=interpret,
+        )
+    if use_padded:
+        return flash_attention_padded(
             q, k, v, causal=causal, segment_ids=segment_ids, scale=scale,
             interpret=interpret,
         )

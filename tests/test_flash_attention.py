@@ -107,3 +107,29 @@ def test_bf16_forward():
                           block_q=128, block_k=128)
     np.testing.assert_allclose(
         out.astype(np.float32), ref.astype(np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_padded_flash_matches_eager_awkward_shapes():
+    """SigLIP-like shape: S=93 (not 128-multiple), D=72 (not lane mult)."""
+    from mllm_npu_tpu.ops import flash_attention_padded
+    key = jax.random.PRNGKey(7)
+    q, k, v = _make_qkv(key, 2, 93, 93, 4, 4, 72)
+    ref = dot_product_attention(q, k, v, causal=False)
+    out = flash_attention_padded(q, k, v, causal=False, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_padded_flash_with_segment_ids():
+    from mllm_npu_tpu.ops import SegmentIds, flash_attention_padded
+    key = jax.random.PRNGKey(8)
+    B, S = 1, 200
+    q, k, v = _make_qkv(key, B, S, S, 2, 2, 72)
+    seg = np.ones((B, S), np.int32)
+    seg[:, 100:] = 2
+    seg = jnp.asarray(seg)
+    ids = SegmentIds(q=seg, kv=seg)
+    ref = dot_product_attention(q, k, v, causal=True,
+                                q_segment_ids=seg, kv_segment_ids=seg)
+    out = flash_attention_padded(q, k, v, causal=True, segment_ids=ids,
+                                 interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
