@@ -103,12 +103,14 @@ def multi_head_attention(
                    and Sq >= _FLASH_MIN_SEQ)
         use_flash = (ok_base and Sq % 128 == 0 and Sk % 128 == 0
                      and D % 128 == 0)
-        # awkward shapes (vision towers): pad into the kernel when the
-        # waste is small
+        # awkward shapes (vision towers): pad into the kernel only when
+        # the padding FLOP waste stays small — e.g. Qwen-ViT D=104→128
+        # (1.23x) qualifies, SigLIP D=72→128 (~2x) stays on the eager
+        # path where XLA's fused attention is already compute-bound
         if ok_base and not use_flash:
             pad_waste = (_pad_to(Sq, 128) * _pad_to(Sk, 128)
                          * max(_pad_to(D, 128), 128)) / (Sq * Sk * D)
-            use_padded = pad_waste <= 2.0
+            use_padded = pad_waste <= 1.35
     if use_flash:
         return flash_attention(
             q, k, v, causal=causal, segment_ids=segment_ids, scale=scale,
