@@ -1,0 +1,152 @@
+"""Serving latency harness: image+prompt → first-token latency and
+decode throughput (BASELINE.md metric #2).
+
+Measures the two jitted phases separately:
+- prefill: vision encode + projector + scatter + LLM forward over the
+  prompt with cache write + first-token argmax
+- decode: per-token step latency (cache read/write + single-token LLM)
+
+  python benchmarks/latency.py --preset 500m --runs 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=["tiny", "500m"], default="500m")
+    p.add_argument("--runs", type=int, default=20)
+    p.add_argument("--prompt_tokens", type=int, default=512)
+    p.add_argument("--patches", type=int, default=5)
+    p.add_argument("--decode_tokens", type=int, default=32)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaConfig, LlamaForCausalLM, init_cache)
+    from mllm_npu_tpu.models.mllm import GeneralizedMultimodalModel
+    from mllm_npu_tpu.models.multimodal_encoder.siglip_vit import (
+        SigLIPConfig, SigLIPVisionEncoder)
+    from mllm_npu_tpu.models.multimodal_projector.attention_resampler \
+        import AttentionResampler
+
+    if args.preset == "tiny":
+        lm_cfg = LlamaConfig.tiny()
+        vis_cfg = SigLIPConfig.tiny()
+        nq, heads = 4, 4
+    else:
+        lm_cfg = LlamaConfig(
+            vocab_size=32000, hidden_size=1536, intermediate_size=4096,
+            num_hidden_layers=16, num_attention_heads=16,
+            num_key_value_heads=8, max_position_embeddings=4096)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 16
+
+    lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
+    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+    proj = AttentionResampler(grid_size=int(nq ** 0.5),
+                              embed_dim=lm_cfg.hidden_size,
+                              num_heads=heads, kv_dim=vis_cfg.hidden_size,
+                              dtype=jnp.bfloat16)
+    model = GeneralizedMultimodalModel(
+        language_model=lm, vision_encoder=vis, projector=proj,
+        freeze_vision_encoder=True, add_patch_pos=True,
+        patch_pos_dim=lm_cfg.hidden_size)
+
+    B, S, N = 1, args.prompt_tokens, args.patches
+    rs = np.random.RandomState(0)
+    ids_cmp = np.zeros((B, S), bool)
+    pos = 2
+    for i in range(N):
+        ids_cmp[0, pos + i * (nq + 2):pos + i * (nq + 2) + nq] = True
+    input_ids = jnp.asarray(rs.randint(5, lm_cfg.vocab_size, (B, S)),
+                            jnp.int32)
+    images = jnp.asarray(rs.randn(N, vis_cfg.image_size,
+                                  vis_cfg.image_size, 3), jnp.bfloat16)
+    embeds_cmp = jnp.ones((N,), bool)
+    ppos = jnp.asarray(rs.rand(N, 2), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids, images,
+        jnp.ones((B, S), jnp.int32), input_ids,
+        jnp.zeros((N,), bool), embeds_cmp,
+        jnp.zeros((B, S), bool), jnp.asarray(ids_cmp), ppos)
+
+    max_len = S + args.decode_tokens
+
+    @jax.jit
+    def prefill(params, input_ids, images, embeds_cmp, ids_cmp, ppos):
+        embeds, _ = model.apply(params, input_ids, images, embeds_cmp,
+                                ids_cmp, ppos,
+                                method=model.embed_and_scatter)
+        cache = init_cache(lm_cfg, B, max_len, dtype=jnp.bfloat16)
+
+        def fwd(m, **kw):
+            return m.language_model(**kw)
+        logits, _, cache = model.apply(params, inputs_embeds=embeds,
+                                       cache=cache, prefill=True,
+                                       method=fwd)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    @jax.jit
+    def decode_n(params, tok, cache):
+        def fwd(m, **kw):
+            return m.language_model(**kw)
+
+        def body(i, carry):
+            tok, cache = carry
+            logits, _, cache = model.apply(params, tok[:, None],
+                                           cache=cache, method=fwd)
+            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), \
+                cache
+        tok, cache = jax.lax.fori_loop(0, args.decode_tokens, body,
+                                       (tok, cache))
+        return tok
+
+    ids_cmp_j = jnp.asarray(ids_cmp)
+    tok, cache = prefill(params, input_ids, images, embeds_cmp, ids_cmp_j,
+                         ppos)
+    _ = int(tok[0])  # force
+
+    prefill_times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        tok, cache = prefill(params, input_ids, images, embeds_cmp,
+                             ids_cmp_j, ppos)
+        _ = int(tok[0])
+        prefill_times.append(time.perf_counter() - t0)
+
+    tok2 = decode_n(params, tok, cache)
+    _ = int(tok2[0])
+    decode_times = []
+    for _ in range(max(args.runs // 2, 5)):
+        t0 = time.perf_counter()
+        tok2 = decode_n(params, tok, cache)
+        _ = int(tok2[0])
+        decode_times.append(time.perf_counter() - t0)
+
+    per_tok = min(decode_times) / args.decode_tokens
+    print(json.dumps({
+        "preset": args.preset,
+        "prompt_tokens": S, "image_patches": N,
+        "first_token_p50_ms": round(
+            statistics.median(prefill_times) * 1e3, 2),
+        "first_token_min_ms": round(min(prefill_times) * 1e3, 2),
+        "decode_ms_per_token": round(per_tok * 1e3, 3),
+        "decode_tokens_per_sec": round(1.0 / per_tok, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,16 @@ VISION_RULES: list[tuple[str, P]] = [
      P()),
 ]
 
-DEFAULT_RULES = LLAMA_RULES + VISION_RULES
+UNET_RULES: list[tuple[str, P]] = [
+    (r"(to_q|to_k|to_v)(/base)?/kernel$",   P("fsdp", "tensor")),
+    (r"to_out(/base)?/kernel$",             P("tensor", "fsdp")),
+    (r"ff/proj/kernel$",                    P("fsdp", "tensor")),
+    (r"ff/out/kernel$",                     P("tensor", "fsdp")),
+    (r"(time_emb_proj|linear_[12])/kernel$", P()),
+    (r"(norm[123]?|group_norm|conv_norm_out)/(scale|bias)$", P()),
+]
+
+DEFAULT_RULES = LLAMA_RULES + VISION_RULES + UNET_RULES
 
 
 def _pad_spec(spec: P, ndim: int) -> Optional[P]:
