@@ -133,6 +133,21 @@ def lora_frozen_patterns() -> tuple:
     return (r"/base/kernel$",)
 
 
+def packed_positions(segment_ids: jax.Array) -> jax.Array:
+    """Per-segment position ids for packed rows: positions restart at 0
+    at every segment boundary. [B, S] int -> [B, S] int32. For unpacked
+    rows (all-ones + trailing zeros) this reduces to arange over the
+    real region."""
+    B, S = segment_ids.shape
+    idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1)
+    start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, 0), axis=1)
+    return idx - start_idx
+
+
 def init_cache(config: LlamaConfig, batch_size: int, max_len: int,
                dtype=jnp.bfloat16) -> dict:
     """Preallocated KV cache (static shapes for jit'd decode)."""

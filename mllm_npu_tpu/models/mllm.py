@@ -36,7 +36,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mllm_npu_tpu.models.language_models.llama import causal_lm_loss
+from mllm_npu_tpu.models.language_models.llama import (causal_lm_loss,
+                                                       packed_positions)
 from mllm_npu_tpu.ops import SegmentIds
 
 
@@ -166,8 +167,12 @@ class GeneralizedMultimodalModel(nn.Module):
             patch_positions)
         seg = attention_mask.astype(jnp.int32) if attention_mask is not None \
             else None
+        # attention_mask doubles as segment ids: binary for plain padded
+        # rows, multi-valued for packed rows (collate_packed); positions
+        # restart per segment either way
+        positions = None if seg is None else packed_positions(seg)
         logits, _, _ = self.language_model(
-            inputs_embeds=input_embeds,
+            inputs_embeds=input_embeds, positions=positions,
             segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
         lm_loss = causal_lm_loss(logits, labels)
         total = self.lm_loss_scale * lm_loss
@@ -191,8 +196,9 @@ class SEED(GeneralizedMultimodalModel):
             patch_positions)
         seg = attention_mask.astype(jnp.int32) if attention_mask is not None \
             else None
+        positions = None if seg is None else packed_positions(seg)
         logits, last_hidden, _ = self.language_model(
-            inputs_embeds=input_embeds,
+            inputs_embeds=input_embeds, positions=positions,
             segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
         lm_loss = causal_lm_loss(logits, labels)
 

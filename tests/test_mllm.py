@@ -76,3 +76,65 @@ def test_frozen_vision_encoder_gets_zero_grads():
     assert all(float(jnp.abs(x).sum()) == 0 for x in vis_g)
     proj_g = jax.tree_util.tree_leaves(g["params"]["projector"])
     assert any(float(jnp.abs(x).sum()) > 0 for x in proj_g)
+
+
+def test_packed_rows_isolate_samples():
+    """Logits of a sample packed behind another must equal its solo
+    logits (segment-id attention + per-segment positions)."""
+    import jax.numpy as jnp
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaConfig, LlamaForCausalLM, packed_positions)
+
+    cfg = LlamaConfig.tiny(attention_impl="eager")
+    model = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    rs = np.random.RandomState(0)
+    a = rs.randint(10, 1000, (1, 6)).astype(np.int32)
+    b = rs.randint(10, 1000, (1, 10)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(b))
+
+    from mllm_npu_tpu.ops import SegmentIds
+    packed = jnp.asarray(np.concatenate([a, b], axis=1))
+    seg = jnp.asarray([[1] * 6 + [2] * 10], jnp.int32)
+    pos = packed_positions(seg)
+    logits_packed, _, _ = model.apply(
+        params, packed, positions=pos,
+        segment_ids=SegmentIds(q=seg, kv=seg))
+    logits_solo, _, _ = model.apply(params, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(logits_packed[0, 6:]),
+                               np.asarray(logits_solo[0]),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pack_samples_collate():
+    from mllm_npu_tpu.data.utils import pack_samples
+    nq = 2
+    def sample(L, n_img):
+        am = np.zeros(L + 4, np.int32)
+        am[:L] = 1
+        ids = np.arange(100, 100 + L + 4).astype(np.int32)
+        cmp = np.zeros(L + 4, bool)
+        if n_img:
+            cmp[1:1 + nq] = True
+        return {
+            "input_ids": ids, "attention_mask": am,
+            "labels": ids.copy(),
+            "ids_cmp_mask": cmp, "ids_gen_mask": np.zeros(L + 4, bool),
+            "images": (np.ones((n_img, 8, 8, 3), np.float32)
+                       if n_img else None),
+            "embeds_cmp_mask": np.ones(n_img, bool) if n_img else None,
+            "embeds_gen_mask": np.zeros(n_img, bool) if n_img else None,
+        }
+
+    batch = pack_samples([sample(6, 1), sample(5, 0), sample(4, 1)],
+                         max_length=16, max_rows=1, max_images=4,
+                         image_size=8)
+    am = batch["attention_mask"][0]
+    assert list(am[:15]) == [1] * 6 + [2] * 5 + [3] * 4
+    assert am[15] == 0
+    # first token of each packed sample is unsupervised
+    assert batch["labels"][0, 0] == -100
+    assert batch["labels"][0, 6] == -100
+    assert batch["labels"][0, 11] == -100
+    # image masks follow row-major order
+    assert int(batch["embeds_cmp_mask"].sum()) == 2
+    assert int(batch["ids_cmp_mask"][0].sum()) == 4
