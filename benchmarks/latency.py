@@ -101,8 +101,8 @@ def main():
 
     @jax.jit
     def decode_n(params, tok, cache):
-        def fwd(m, **kw):
-            return m.language_model(**kw)
+        def fwd(m, ids, **kw):
+            return m.language_model(ids, **kw)
 
         def body(i, carry):
             tok, cache = carry

@@ -324,6 +324,24 @@ def init_assembly_params(bundle: ModelBundle, example_batch: dict,
     load_zero3_checkpoint init-time loading, utils.py:151-215)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     params = bundle.module.init(rng, **example_batch)
+    ckpt = bundle.extras.get("mllm_checkpoint") if bundle.extras else None
+    if ckpt and not _debug():
+        # full-assembly checkpoint (reference pytorch_model.bin) overrides
+        # the per-component conversions
+        from mllm_npu_tpu.utils.weights import torch_to_flax_assembly
+        sd = _load_hf_dir_or_file(ckpt)
+        lm_cfg = bundle.extras["lm_config"]
+        vis = bundle.module.vision_encoder
+        vis_kind = ("qwen" if "qwenvl" in type(vis).__module__
+                    else "siglip")
+        converted = torch_to_flax_assembly(
+            sd, lm_config=lm_cfg, vision_config=vis.config,
+            vision_kind=vis_kind,
+            has_output_projector=hasattr(bundle.module,
+                                         "output_projector"))
+        merged = dict(bundle.params or {})
+        merged.update(converted)
+        bundle = dataclasses.replace(bundle, params=merged)
     if bundle.params:
         params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
         import flax

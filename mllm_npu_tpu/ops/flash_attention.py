@@ -270,11 +270,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     qseg_ref, kseg_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale, causal, block_q, block_k, num_q_blocks):
-    qi = pl.program_id(3)
+                    *, scale, causal, block_q, block_k, num_q_blocks,
+                    q_per_kv):
+    # innermost grid dim walks (q-block, group-head) pairs so dK/dV
+    # accumulate across the whole GQA group in VMEM — no per-q-head
+    # HBM temporaries + group-sum afterwards
+    t = pl.program_id(3)
+    qi = t // q_per_kv
     ki = pl.program_id(2)
 
-    @pl.when(qi == 0)
+    @pl.when(t == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -324,7 +329,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(qi == num_q_blocks - 1)
+    @pl.when(t == num_q_blocks * q_per_kv - 1)
     def _finish():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -392,25 +397,32 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
         interpret=interpret,
     )(*[a for a in args if a is not None])
 
-    # ---- dKV: grid (B, Hq, nk, nq); per-q-head dk/dv then group-sum
+    # ---- dKV: grid (B, Hkv, nk, nq*G); the inner dim sweeps
+    # (q-block, group-head) so dk/dv land per KV head directly
+    def q_head(h, t):
+        return h * G + t % G
+
+    def q_blk(t):
+        return t // G
+
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, ki, qi: (b, h, qi, 0)),
-        pl.BlockSpec((1, 1, block_k, D),
-                     lambda b, h, ki, qi: (b, kv_head(h), ki, 0)),
-        pl.BlockSpec((1, 1, block_k, D),
-                     lambda b, h, ki, qi: (b, kv_head(h), ki, 0)),
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, ki, qi: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, D),
+                     lambda b, h, ki, t: (b, q_head(h, t), q_blk(t), 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, ki, t: (b, h, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, ki, t: (b, h, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, D),
+                     lambda b, h, ki, t: (b, q_head(h, t), q_blk(t), 0)),
         pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                     lambda b, h, ki, qi: (b, h, qi, 0)),
+                     lambda b, h, ki, t: (b, q_head(h, t), q_blk(t), 0)),
         pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                     lambda b, h, ki, qi: (b, h, qi, 0)),
+                     lambda b, h, ki, t: (b, q_head(h, t), q_blk(t), 0)),
     ]
     args = [q, k, v, do, lse, di]
     if segment_ids is not None:
         in_specs += [
             pl.BlockSpec((1, block_q, NUM_LANES),
-                         lambda b, h, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, 8, block_k), lambda b, h, ki, qi: (b, 0, ki)),
+                         lambda b, h, ki, t: (b, q_blk(t), 0)),
+            pl.BlockSpec((1, 8, block_k), lambda b, h, ki, t: (b, 0, ki)),
         ]
         args += [qseg3, kseg_sub]
     else:
@@ -419,21 +431,21 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
 
     kern = functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                              block_q=block_q, block_k=block_k,
-                             num_q_blocks=Sq // block_q)
+                             num_q_blocks=Sq // block_q, q_per_kv=G)
     live = [a is not None for a in args]
-    dkq, dvq = pl.pallas_call(
+    dk, dv = pl.pallas_call(
         _wrap_optional(kern, live, 2, 2),
-        grid=(B, Hq, Sk // block_k, Sq // block_q),
+        grid=(B, Hkv, Sk // block_k, (Sq // block_q) * G),
         in_specs=[s for s in in_specs if s is not None],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, ki, qi: (b, h, ki, 0)),
+                         lambda b, h, ki, t: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, ki, qi: (b, h, ki, 0)),
+                         lambda b, h, ki, t: (b, h, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sk, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, Sk, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -446,9 +458,7 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
         interpret=interpret,
     )(*[a for a in args if a is not None])
 
-    dk = dkq.reshape(B, Hkv, G, Sk, D).sum(axis=2).astype(k.dtype)
-    dv = dvq.reshape(B, Hkv, G, Sk, D).sum(axis=2).astype(v.dtype)
-    return dq, dk, dv, None
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 # ---------------------------------------------------------------------------
@@ -504,12 +514,20 @@ def flash_attention(
             "kernel (lane-broadcast-free bookkeeping); use the eager path")
     if scale is None:
         scale = D ** -0.5
-    block_q = min(block_q, Sq)
-    block_k = min(block_k, Sk)
-    if Sq % block_q or Sk % block_k:
+
+    def fit_block(pref: int, S: int) -> int:
+        # largest 128-multiple <= pref that divides S
+        b = min(pref, S)
+        while b >= NUM_LANES:
+            if S % b == 0:
+                return b
+            b -= NUM_LANES
         raise ValueError(
-            f"seq lens ({Sq}, {Sk}) must be multiples of block sizes "
-            f"({block_q}, {block_k}); pad upstream")
+            f"seq len {S} must be a multiple of {NUM_LANES}; pad upstream "
+            "(ops.flash_attention_padded does this automatically)")
+
+    block_q = fit_block(block_q, Sq)
+    block_k = fit_block(block_k, Sk)
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)

@@ -507,3 +507,54 @@ def torch_to_flax_vae(sd: Dict[str, Any], config) -> dict:
         "quant_conv": _conv(sd, "quant_conv"),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }
+
+
+# ---------------------------------------------------------------------------
+# full-assembly checkpoints (SEED-X pytorch_model.bin)
+# ---------------------------------------------------------------------------
+
+def split_assembly_state(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """Split a reference assembly state dict (keys like
+    'language_model.*', 'vision_encoder.*', 'projector.*',
+    'output_projector.*', 'patch_pos_embed') into per-component dicts
+    with their prefixes stripped."""
+    out: Dict[str, Dict[str, Any]] = {}
+    for k, v in sd.items():
+        if k == "patch_pos_embed":
+            out.setdefault("__root__", {})[k] = v
+            continue
+        head, _, rest = k.partition(".")
+        out.setdefault(head, {})[rest] = v
+    return out
+
+
+def torch_to_flax_assembly(sd: Dict[str, Any], *, lm_config,
+                           vision_config=None, vision_kind: str = "qwen",
+                           has_output_projector: bool = False) -> dict:
+    """Reference SEED/MLLM assembly checkpoint → params subtrees keyed by
+    attribute name (the format models.factory.init_assembly_params
+    merges)."""
+    parts = split_assembly_state(sd)
+    tree: Dict[str, Any] = {}
+    if "language_model" in parts:
+        # peft-wrapped names may carry 'base_model.model.' prefixes
+        lm_sd = {}
+        for k, v in parts["language_model"].items():
+            k = k.replace("base_model.model.", "")
+            k = k.replace(".base_layer.", ".")
+            lm_sd[k] = v
+        tree["language_model"] = torch_to_flax_llama(
+            lm_sd, lm_config, vocab_size=lm_config.vocab_size)
+    if "vision_encoder" in parts and vision_config is not None:
+        conv = (torch_to_flax_qwen_vit if vision_kind == "qwen"
+                else torch_to_flax_siglip)
+        tree["vision_encoder"] = conv(parts["vision_encoder"],
+                                      vision_config)
+    if "projector" in parts:
+        tree["projector"] = torch_to_flax_resampler(parts["projector"])
+    if has_output_projector and "output_projector" in parts:
+        tree["output_projector"] = torch_to_flax_resampler(
+            parts["output_projector"])
+    if "__root__" in parts:
+        tree["patch_pos_embed"] = _t(parts["__root__"]["patch_pos_embed"])
+    return tree
