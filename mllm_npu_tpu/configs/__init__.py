@@ -36,6 +36,11 @@ TARGET_TRANSLATION = {
     "mllm_npu.models.multimodal_encoder.qwenvl_vit"
     ".VisionTransformerWithAttnPool.from_pretrained":
         "mllm_npu_tpu.models.factory.build_qwen_vit",
+    "mllm_npu.models.multimodal_encoder.qwenvl_vit"
+    ".VisionTransformerWithAttnPool":
+        "mllm_npu_tpu.models.factory.build_qwen_vit",
+    "mllm_npu.models.multimodal_encoder.qwenvl_vit.VisionTransformer":
+        "mllm_npu_tpu.models.factory.build_qwen_vit",
     "mllm_npu.models.multimodal_projector.attention_resampler"
     ".AttentionResampler":
         "mllm_npu_tpu.models.factory.build_attention_resampler",

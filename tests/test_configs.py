@@ -79,3 +79,15 @@ def test_our_seedx_config_instantiates():
     mllm = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
     assert mllm.module.vit_down and mllm.module.mse
     assert mllm.module.output_projector is not None
+
+
+def test_reference_seedx_yaml_translates():
+    ref = Path("/root/reference/mllm_npu/configs/models/"
+               "seedx_llama2_13b_qwenvl_vitg.yaml")
+    with open(ref) as f:
+        cfg = yaml.safe_load(f)
+    llm = instantiate(cfg["mllm"]["language_model"])
+    mllm = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
+    assert mllm.module.vit_down and mllm.module.mse
+    assert mllm.module.output_projector is not None
+    assert llm.config.lora_rank == 32
