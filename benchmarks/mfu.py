@@ -58,6 +58,8 @@ def main():
     p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
     p.add_argument("--remat_policy", default="nothing",
                    choices=["nothing", "dots", "dots_no_batch"])
+    p.add_argument("--mu_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -148,7 +150,8 @@ def main():
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     state = create_train_state(params, OptimizerConfig(
-        lr=1e-4, warmup_steps=0, total_steps=1000))
+        lr=1e-4, warmup_steps=0, total_steps=1000,
+        mu_dtype=args.mu_dtype))
     del params
 
     def loss_fn(p, b):

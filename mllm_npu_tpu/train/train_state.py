@@ -57,6 +57,9 @@ class OptimizerConfig:
     total_steps: int = 100_000
     min_lr_ratio: float = 0.05
     frozen_patterns: tuple = ("vision_encoder",)
+    # bf16 first/second moments halve optimizer HBM — frees memory for
+    # lighter remat policies (the ZeRO-style memory/compute trade)
+    mu_dtype: str = "float32"  # float32 | bfloat16
 
 
 def _path_str(path) -> str:
@@ -86,10 +89,14 @@ def build_optimizer(config: OptimizerConfig, params: Any):
                           warmup_steps=config.warmup_steps,
                           total_steps=config.total_steps,
                           min_lr_ratio=config.min_lr_ratio)
+    import jax.numpy as _jnp
+    mu_dtype = {"float32": _jnp.float32,
+                "bfloat16": _jnp.bfloat16}[config.mu_dtype]
     inner = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(sched, b1=config.betas[0], b2=config.betas[1],
-                    eps=config.eps, weight_decay=config.weight_decay),
+                    eps=config.eps, weight_decay=config.weight_decay,
+                    mu_dtype=mu_dtype),
     )
     mask = trainable_mask(params, config.frozen_patterns)
     tx = optax.multi_transform(
@@ -181,13 +188,15 @@ def _opt_state_shardings(state: TrainState, param_specs, mesh: Mesh):
     # match a param leaf, else replicate.
     param_leaves = jax.tree_util.tree_leaves(state.params)
     spec_leaves = jax.tree_util.tree_leaves(param_specs)
+    # match on shape only: adam moments may be stored in a lower dtype
+    # (mu_dtype) but must shard exactly like their parameter
     shape_to_spec = {}
     for l, s in zip(param_leaves, spec_leaves):
-        shape_to_spec.setdefault((l.shape, str(l.dtype)), s)
+        shape_to_spec.setdefault(l.shape, s)
 
     def spec_for(leaf):
         if hasattr(leaf, "shape"):
-            s = shape_to_spec.get((leaf.shape, str(leaf.dtype)))
+            s = shape_to_spec.get(leaf.shape)
             if s is not None:
                 return NamedSharding(mesh, s)
             return NamedSharding(mesh, P())
