@@ -77,13 +77,6 @@ class InferenceEngine:
 
     # -- helpers -----------------------------------------------------------
 
-    def _bucket_pad(self, ids: list[int]) -> list[int]:
-        """Left-extend? No — right-pad prompts to a bucket multiple would
-        corrupt causal decode; instead pad *left* with pad tokens would
-        shift positions. We keep exact lengths (one compile per length,
-        bounded by bucketing the *text* segment upstream)."""
-        return ids
-
     def comprehension(self, input_text: str, image_b64: str,
                       max_new_tokens: Optional[int] = None) -> str:
         image = Image.open(io.BytesIO(
