@@ -351,7 +351,11 @@ def init_assembly_params(bundle: ModelBundle, example_batch: dict,
         import flax
         flat = flax.traverse_util.flatten_dict(params["params"])
         for name, sub in bundle.params.items():
-            subflat = flax.traverse_util.flatten_dict(sub)
+            if not isinstance(sub, dict):
+                # root-level leaf (e.g. patch_pos_embed)
+                subflat = {(): sub}
+            else:
+                subflat = flax.traverse_util.flatten_dict(sub)
             for k, v in subflat.items():
                 key = (name,) + k
                 if key in flat and flat[key].shape == jnp.shape(v):
