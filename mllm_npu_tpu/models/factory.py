@@ -367,3 +367,96 @@ def init_assembly_params(bundle: ModelBundle, example_batch: dict,
         params = dict(params)
         params["params"] = flax.traverse_util.unflatten_dict(flat)
     return params
+
+
+# ---------------------------------------------------------------------------
+# de-tokenizer (SDXL adapter) factory
+# ---------------------------------------------------------------------------
+
+def build_sdxl_adapter(resampler: Optional[dict] = None,
+                       unet_checkpoint: Optional[str] = None,
+                       vae_checkpoint: Optional[str] = None,
+                       adapter_checkpoint: Optional[str] = None,
+                       vit_down: bool = False,
+                       with_latent_image: bool = False,
+                       dtype=jnp.float32):
+    """Build the SDXL de-tokenizer stack (worker-side analogue of
+    reference worker.py:88-109 / demo txt2img :57-88). Checkpoints load
+    when present; otherwise random init (DEBUG/tiny workflows).
+
+    ``resampler``: kwargs for ResamplerXL(V2); in DEBUG mode everything
+    shrinks to the tiny configs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mllm_npu_tpu.models.generation.adapter_modules import (
+        SDXLAdapter, SDXLAdapterWithLatentImage)
+    from mllm_npu_tpu.models.generation.resampler import ResamplerXL
+    from mllm_npu_tpu.models.generation.schedulers import (
+        EulerDiscreteScheduler)
+    from mllm_npu_tpu.models.generation.unet import (UNetConfig,
+                                                     UNet2DConditionModel)
+    from mllm_npu_tpu.models.generation.vae import (AutoencoderKL,
+                                                    VAEConfig)
+
+    if _debug():
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        rkw = dict(dim=32, depth=1, dim_head=8, heads=4, num_queries=4,
+                   embedding_dim=128, output1_dim=32, output2_dim=32)
+    else:
+        ucfg = UNetConfig.sdxl_base(
+            in_channels=8 if with_latent_image else 4)
+        vcfg = VAEConfig.sdxl()
+        rkw = dict(dim=1024, depth=4, dim_head=64, heads=16,
+                   num_queries=64, embedding_dim=4096, output1_dim=768,
+                   output2_dim=1280)
+        if resampler:
+            rkw.update({k: v for k, v in resampler.items()
+                        if not k.startswith("_")})
+
+    unet = UNet2DConditionModel(ucfg, dtype=dtype)
+    S = ucfg.sample_size
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    unet_params = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, S, S, ucfg.in_channels)), jnp.ones((1,)),
+        jnp.ones((1, 4, ucfg.cross_attention_dim)),
+        {"text_embeds": jnp.ones((1, pooled_dim)),
+         "time_ids": jnp.ones((1, 6))})
+    res_mod = ResamplerXL(**rkw, dtype=dtype)
+    res_params = res_mod.init(jax.random.PRNGKey(1),
+                              jnp.ones((1, 4, rkw["embedding_dim"])))
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    f = vcfg.spatial_scale_factor
+    vae_params = vae.init(jax.random.PRNGKey(2),
+                          jnp.ones((1, S * f, S * f, 3)))
+
+    if not _debug():
+        from mllm_npu_tpu.utils import weights as W
+        import flax
+        if _maybe(unet_checkpoint):
+            sd = _load_hf_dir_or_file(unet_checkpoint)
+            unet_params = {"params": W.torch_to_flax_unet(sd, ucfg)}
+        if _maybe(vae_checkpoint):
+            sd = _load_hf_dir_or_file(vae_checkpoint)
+            vae_params = {"params": W.torch_to_flax_vae(sd, vcfg)}
+        if _maybe(adapter_checkpoint):
+            sd = _load_hf_dir_or_file(adapter_checkpoint)
+            res_sd, unet_sd = W.split_adapter_state(sd)
+            if res_sd:
+                res_params = {"params": W.torch_to_flax_perceiver(res_sd)}
+            if unet_sd:
+                # tuned subset (to_k/to_v): merge over the base unet
+                tuned = W.torch_to_flax_unet(
+                    {**{k: v for k, v in unet_sd.items()}}, ucfg) \
+                    if len(unet_sd) > 500 else None
+                if tuned is not None:
+                    unet_params = {"params": tuned}
+
+    cls = SDXLAdapterWithLatentImage if with_latent_image else SDXLAdapter
+    adapter = cls(unet_module=unet, unet_params=unet_params,
+                  resampler_module=res_mod, resampler_params=res_params,
+                  vit_down=vit_down)
+    adapter.init_pipe(vae, vae_params, EulerDiscreteScheduler())
+    return adapter

@@ -148,7 +148,8 @@ def create_app(worker: ModelWorker) -> web.Application:
 
 
 def load_engine_from_config(model_config_path: str,
-                            max_new_tokens: int = 512):
+                            max_new_tokens: int = 512,
+                            generation_config_path: str = None):
     """Build the InferenceEngine from a model YAML (the worker-side
     analogue of reference worker.py:65-109's model stack load)."""
     import jax
@@ -171,9 +172,19 @@ def load_engine_from_config(model_config_path: str,
                     vocab=llm.config.vocab_size, max_images=2)
     example = synthetic_batch(spec, cmp_images=1)
     params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
+    adapter = None
+    if generation_config_path:
+        from mllm_npu_tpu.models.factory import build_sdxl_adapter
+        gen_cfg = load_config(generation_config_path)
+        adapter = build_sdxl_adapter(
+            resampler=gen_cfg.get("resampler"),
+            unet_checkpoint=gen_cfg.get("unet_checkpoint"),
+            vae_checkpoint=gen_cfg.get("vae_checkpoint"),
+            adapter_checkpoint=gen_cfg.get("adapter_checkpoint"),
+            vit_down=gen_cfg.get("vit_down", False))
     return InferenceEngine(
         model=bundle.module, lm_config=llm.config, params=params,
-        tokenizer=tokenizer, image_transform=processor,
+        tokenizer=tokenizer, image_transform=processor, adapter=adapter,
         num_img_in_tokens=nq, num_img_out_tokens=nq,
         max_new_tokens=max_new_tokens)
 
@@ -188,11 +199,13 @@ def main():
                         default="http://localhost:10075")
     parser.add_argument("--model-name", type=str, default="seed-x")
     parser.add_argument("--model-config", type=str, required=True)
+    parser.add_argument("--generation-config", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
     args = parser.parse_args()
     build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
-    engine = load_engine_from_config(args.model_config)
+    engine = load_engine_from_config(
+        args.model_config, generation_config_path=args.generation_config)
     worker = ModelWorker(args.controller_address, args.worker_address,
                          uuid.uuid4().hex[:6], args.model_name, engine,
                          no_register=args.no_register,

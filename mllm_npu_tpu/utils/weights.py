@@ -558,3 +558,78 @@ def torch_to_flax_assembly(sd: Dict[str, Any], *, lm_config,
     if "__root__" in parts:
         tree["patch_pos_embed"] = _t(parts["__root__"]["patch_pos_embed"])
     return tree
+
+
+# ---------------------------------------------------------------------------
+# perceiver resamplers (de-tokenizer, reference resampler.py)
+# ---------------------------------------------------------------------------
+
+def torch_to_flax_perceiver(sd: Dict[str, Any], prefix: str = "",
+                            depth: Optional[int] = None) -> dict:
+    """Reference Resampler/ResamplerXL(+V2) state → our resampler params.
+
+    Reference naming: latents, proj_in, norm_out, layers.{i}.0.* =
+    PerceiverAttention(norm1, norm2, to_q, to_kv, to_out), layers.{i}.1.*
+    = FeedForward Sequential(0=LayerNorm, 1=Linear, 3=Linear); XL heads:
+    unet_proj_1/2 + unet_attnpool (CLIP-style pool with separate
+    q/k/v/c_proj)."""
+    p = lambda k: _t(sd[prefix + k])
+    if depth is None:
+        depth = 1 + max(int(k[len(prefix) + 7:].split(".")[0])
+                        for k in sd if k.startswith(prefix + "layers."))
+    core = {}
+    for i in range(depth):
+        a = f"layers.{i}.0."
+        f = f"layers.{i}.1."
+        core[f"attn_{i}"] = {
+            "norm1": {"scale": p(a + "norm1.weight"),
+                      "bias": p(a + "norm1.bias")},
+            "norm2": {"scale": p(a + "norm2.weight"),
+                      "bias": p(a + "norm2.bias")},
+            "to_q": {"kernel": p(a + "to_q.weight").T},
+            "to_kv": {"kernel": p(a + "to_kv.weight").T},
+            "to_out": {"kernel": p(a + "to_out.weight").T},
+        }
+        core[f"ff_{i}"] = {
+            "norm": {"scale": p(f + "0.weight"), "bias": p(f + "0.bias")},
+            "fc1": {"kernel": p(f + "1.weight").T},
+            "fc2": {"kernel": p(f + "3.weight").T},
+        }
+    core["latents"] = p("latents")
+    tree = {
+        "core": core,
+        "proj_in": {"kernel": p("proj_in.weight").T,
+                    "bias": p("proj_in.bias")},
+        "norm_out": {"scale": p("norm_out.weight"),
+                     "bias": p("norm_out.bias")},
+    }
+    if prefix + "proj_out.weight" in sd:   # plain Resampler
+        tree["proj_out"] = {"kernel": p("proj_out.weight").T,
+                            "bias": p("proj_out.bias")}
+    if prefix + "unet_proj_1.weight" in sd:   # XL variants
+        tree["unet_proj_1"] = {"kernel": p("unet_proj_1.weight").T,
+                               "bias": p("unet_proj_1.bias")}
+        tree["unet_proj_2"] = {"kernel": p("unet_proj_2.weight").T,
+                               "bias": p("unet_proj_2.bias")}
+        ap = "unet_attnpool."
+        tree["unet_attnpool"] = {
+            "positional_embedding": p(ap + "positional_embedding"),
+            "q_proj": {"kernel": p(ap + "q_proj.weight").T,
+                       "bias": p(ap + "q_proj.bias")},
+            "k_proj": {"kernel": p(ap + "k_proj.weight").T,
+                       "bias": p(ap + "k_proj.bias")},
+            "v_proj": {"kernel": p(ap + "v_proj.weight").T,
+                       "bias": p(ap + "v_proj.bias")},
+            "c_proj": {"kernel": p(ap + "c_proj.weight").T,
+                       "bias": p(ap + "c_proj.bias")},
+        }
+    return tree
+
+
+def split_adapter_state(sd: Dict[str, Any]) -> tuple:
+    """Reference detokenizer checkpoint → (resampler_sd, unet_sd)."""
+    res = {k[len("resampler."):]: v for k, v in sd.items()
+           if k.startswith("resampler.")}
+    unet = {k[len("unet."):]: v for k, v in sd.items()
+            if k.startswith("unet.")}
+    return res, unet

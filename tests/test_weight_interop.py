@@ -118,3 +118,124 @@ def test_attention_resampler_parity_with_reference_arch():
                                kv_dim=kv)
     out = model.apply({"params": tree}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-4)
+
+
+def test_perceiver_resampler_parity_with_reference_arch():
+    """Torch replica of the reference deep perceiver ResamplerXL
+    (resampler.py:163-220) vs our Flax ResamplerXL after conversion."""
+    import math
+    import torch.nn as tnn
+
+    dim, depth, dim_head, heads, nq, emb, o1, o2 = 32, 2, 8, 4, 4, 24, 16, 24
+
+    class TPerceiverAttention(tnn.Module):
+        # structural copy of reference resampler.py:26-70
+        def __init__(self):
+            super().__init__()
+            inner = dim_head * heads
+            self.norm1 = tnn.LayerNorm(dim)
+            self.norm2 = tnn.LayerNorm(dim)
+            self.to_q = tnn.Linear(dim, inner, bias=False)
+            self.to_kv = tnn.Linear(dim, inner * 2, bias=False)
+            self.to_out = tnn.Linear(inner, dim, bias=False)
+
+        def forward(self, x, latents):
+            x = self.norm1(x)
+            latents = self.norm2(latents)
+            b, l, _ = latents.shape
+            q = self.to_q(latents)
+            kv = self.to_kv(torch.cat([x, latents], dim=-2))
+            k, v = kv.chunk(2, dim=-1)
+
+            def rs(t):
+                b2, n, _ = t.shape
+                return t.view(b2, n, heads, -1).transpose(1, 2)
+
+            q, k, v = rs(q), rs(k), rs(v)
+            scale = 1 / math.sqrt(math.sqrt(dim_head))
+            w = (q * scale) @ (k * scale).transpose(-2, -1)
+            w = torch.softmax(w.float(), dim=-1).type(w.dtype)
+            out = (w @ v).permute(0, 2, 1, 3).reshape(b, l, -1)
+            return self.to_out(out)
+
+    def t_ff():
+        return tnn.Sequential(tnn.LayerNorm(dim),
+                              tnn.Linear(dim, dim * 4, bias=False),
+                              tnn.GELU(),
+                              tnn.Linear(dim * 4, dim, bias=False))
+
+    class TResamplerXL(tnn.Module):
+        # structural copy of reference resampler.py:163-220
+        def __init__(self):
+            super().__init__()
+            self.latents = tnn.Parameter(torch.randn(1, nq, dim) / dim ** .5)
+            self.proj_in = tnn.Linear(emb, dim)
+            self.norm_out = tnn.LayerNorm(dim)
+            self.layers = tnn.ModuleList([
+                tnn.ModuleList([TPerceiverAttention(), t_ff()])
+                for _ in range(depth)])
+            self.unet_proj_1 = tnn.Linear(dim, o1)
+            self.unet_proj_2 = tnn.Linear(dim, o2)
+            self.unet_attnpool = _TorchAttnPool()
+
+        def forward(self, x):
+            latents = self.latents.repeat(x.size(0), 1, 1)
+            x = self.proj_in(x)
+            for attn, ff in self.layers:
+                latents = attn(x, latents) + latents
+                latents = ff(latents) + latents
+            hidden = self.norm_out(latents)
+            pe = torch.cat([self.unet_proj_1(hidden),
+                            self.unet_proj_2(hidden)], dim=-1)
+            pooled = self.unet_attnpool(hidden)
+            return pe, pooled
+
+    class _TorchAttnPool(tnn.Module):
+        # structural copy of reference resampler.py:73-111
+        def __init__(self):
+            super().__init__()
+            self.positional_embedding = tnn.Parameter(
+                torch.randn(nq + 1, dim) / dim ** 0.5)
+            self.k_proj = tnn.Linear(dim, dim)
+            self.q_proj = tnn.Linear(dim, dim)
+            self.v_proj = tnn.Linear(dim, dim)
+            self.c_proj = tnn.Linear(dim, o2)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            x = x.permute(1, 0, 2)
+            x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+            x = x + self.positional_embedding[:, None, :]
+            x, _ = F.multi_head_attention_forward(
+                query=x, key=x, value=x, embed_dim_to_check=dim,
+                num_heads=heads,
+                q_proj_weight=self.q_proj.weight,
+                k_proj_weight=self.k_proj.weight,
+                v_proj_weight=self.v_proj.weight,
+                in_proj_weight=None,
+                in_proj_bias=torch.cat([self.q_proj.bias, self.k_proj.bias,
+                                        self.v_proj.bias]),
+                bias_k=None, bias_v=None, add_zero_attn=False,
+                dropout_p=0, out_proj_weight=self.c_proj.weight,
+                out_proj_bias=self.c_proj.bias,
+                use_separate_proj_weight=True, training=False,
+                need_weights=False)
+            return x[0]
+
+    torch.manual_seed(0)
+    tm = TResamplerXL().eval()
+    x = torch.randn(2, 6, emb)
+    with torch.no_grad():
+        ref_pe, ref_pool = tm(x)
+
+    from mllm_npu_tpu.models.generation.resampler import ResamplerXL
+    from mllm_npu_tpu.utils.weights import torch_to_flax_perceiver
+    tree = torch_to_flax_perceiver(tm.state_dict())
+    model = ResamplerXL(dim=dim, depth=depth, dim_head=dim_head,
+                        heads=heads, num_queries=nq, embedding_dim=emb,
+                        output1_dim=o1, output2_dim=o2)
+    pe, pool = model.apply({"params": tree}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(pe), ref_pe.numpy(), atol=5e-4,
+                               rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(pool), ref_pool.numpy(),
+                               atol=5e-4, rtol=5e-3)
