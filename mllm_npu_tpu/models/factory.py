@@ -403,6 +403,9 @@ def build_sdxl_adapter(resampler: Optional[dict] = None,
         ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
         rkw = dict(dim=32, depth=1, dim_head=8, heads=4, num_queries=4,
                    embedding_dim=128, output1_dim=32, output2_dim=32)
+        if resampler and "embedding_dim" in resampler:
+            # must match the SEED output projector's width
+            rkw["embedding_dim"] = resampler["embedding_dim"]
     else:
         ucfg = UNetConfig.sdxl_base(
             in_channels=8 if with_latent_image else 4)

@@ -130,8 +130,11 @@ class InferenceEngine:
         out = self.text_to_image_features(input_text)
         if not out.get("has_img_output"):
             raise RuntimeError("model produced no image tokens")
+        # native resolution of the loaded denoiser (1024 for SDXL-base)
+        size = (self.adapter.unet_module.config.sample_size
+                * self.adapter.vae_module.config.spatial_scale_factor)
         images = self.adapter.generate(
-            image_embeds=out["img_gen_feat"],
+            image_embeds=out["img_gen_feat"], height=size, width=size,
             num_inference_steps=num_inference_steps)
         buf = io.BytesIO()
         images[0].save(buf, format="JPEG")

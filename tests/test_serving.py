@@ -126,3 +126,42 @@ def test_worker_error_contract():
     chunks = list(w.generate_gate({"input_text": "x", "image_gen": True}))
     msg = json.loads(chunks[0].rstrip(b"\0"))
     assert msg["error_code"] in (1, 3)   # no adapter loaded yet
+
+
+def test_worker_image_gen_end_to_end(monkeypatch):
+    """image_gen=True through the full stack: SEED decode → forced
+    ladder → output projector → DEBUG-sized SDXL adapter → b64 JPEG."""
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    from mllm_npu_tpu.models.factory import build_sdxl_adapter
+
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, vis_cfg = build_tiny_mllm(spec, seed=True)
+    batch = synthetic_batch(spec, cmp_images=1, gen_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    from mllm_npu_tpu.data.processor import ImageProcessor
+    adapter = build_sdxl_adapter(
+        resampler={"embedding_dim": vis_cfg.hidden_size})
+    # DEBUG adapter has no visual encoder; reuse prompt embeds as the
+    # negative so CFG still runs
+    orig = adapter.get_image_embeds
+
+    def no_neg(image_embeds=None, **kw):
+        pe, pooled = adapter.encode_image_embeds(image_embeds)
+        return pe, pe, pooled, pooled
+
+    adapter.get_image_embeds = no_neg
+    eng = InferenceEngine(
+        model=model, lm_config=lm_cfg, params=params,
+        tokenizer=FakeTokenizer(),
+        image_transform=ImageProcessor(height=56, width=56),
+        adapter=adapter, resolution_grids=("1x1",), base_resolution=448,
+        num_img_in_tokens=4, num_img_out_tokens=4,
+        max_new_tokens=8, cache_dtype=jnp.float32)
+    w = ModelWorker("http://unused", "http://worker", "id1", "tiny", eng,
+                    no_register=True)
+    chunks = list(w.generate_gate({"input_text": "a cat", "image_gen": True}))
+    msg = json.loads(chunks[0].rstrip(b"\0"))
+    assert msg["error_code"] == 0, msg
+    import base64 as b64mod
+    img_bytes = b64mod.b64decode(msg["image"])
+    assert img_bytes[:2] == b"\xff\xd8"   # JPEG magic
