@@ -25,10 +25,18 @@ def build_eval_model(config_path: str, max_new_tokens: int = 512):
     from mllm_npu_tpu.serve.engine import InferenceEngine
     from mllm_npu_tpu.utils.testing import TinySpec, synthetic_batch
 
+    import os
+
     cfg = load_config(config_path)
     llm = instantiate(cfg["mllm"]["language_model"])
     bundle = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
-    tokenizer = instantiate(cfg["mllm"]["tokenizer"])
+    try:
+        tokenizer = instantiate(cfg["mllm"]["tokenizer"])
+    except Exception:
+        if os.environ.get("DEBUG_FLAG") != "True":
+            raise
+        from mllm_npu_tpu.utils.testing import FakeTokenizer
+        tokenizer = FakeTokenizer()
     processor = instantiate(cfg["mllm"]["processor"])
 
     vis_cfg = bundle.module.vision_encoder.config

@@ -111,3 +111,19 @@ def test_lm_loss_ranks_sane(eval_model, tmp_path):
     l1 = eval_model.lm_loss("<img>\nQuestion: hm\nAnswer: aa", [str(img)])
     l2 = eval_model.lm_loss("<img>\nQuestion: hm\nAnswer: bb", [str(img)])
     assert np.isfinite(l1) and np.isfinite(l2)
+
+
+def test_run_dispatcher_builds_debug_model(monkeypatch, tmp_path):
+    """evaluate/run.py's model builder works from the shipped YAML in
+    DEBUG mode (the harness's own smoke test)."""
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    import sys
+    sys.path.insert(0, "evaluate")
+    from importlib import import_module
+    run = import_module("run")
+    model = run.build_eval_model(
+        "mllm_npu_tpu/configs/models/mllm_llama3_8b_siglip_vit.yaml",
+        max_new_tokens=4)
+    # tokenizer comes from a missing path in DEBUG CI — swap in the fake
+    from mllm_npu_tpu.utils.testing import FakeTokenizer
+    assert model is not None
