@@ -275,6 +275,8 @@ def decode_image_text_pair(sample: dict, tokenizer, image_transform=None,
         out["text"] = caption
         out["response"] = response
 
+    import os as _os
+    use_native = (_os.environ.get("MLLM_TPU_NATIVE_DECODE") == "1")
     for ext in (".jpg", ".jpeg", ".png"):
         if ext in sample:
             try:
@@ -289,8 +291,21 @@ def decode_image_text_pair(sample: dict, tokenizer, image_transform=None,
             if ar < min_aspect_ratio or ar > 1 / min_aspect_ratio:
                 break
             if multi_resolution:
-                imgs, pos = process_anyres_image(
-                    image, image_transform, grid_pinpoints, base_resolution)
+                imgs = pos = None
+                if use_native and ext in (".jpg", ".jpeg") and \
+                        image_transform is not None:
+                    from mllm_npu_tpu.data.utils import (
+                        process_anyres_jpeg_native)
+                    res = process_anyres_jpeg_native(
+                        sample[ext], image_transform.image_mean,
+                        image_transform.image_std, grid_pinpoints,
+                        base_resolution)
+                    if res is not None:
+                        imgs, pos = res
+                if imgs is None:
+                    imgs, pos = process_anyres_image(
+                        image, image_transform, grid_pinpoints,
+                        base_resolution)
                 out.update({
                     "images": imgs,
                     "images_patch_length": np.asarray([imgs.shape[0]]),

@@ -309,3 +309,60 @@ def pack_samples(samples: list[dict], *, max_length: int,
             axis=0),
         "dataset_name": dataset_name,
     }
+
+
+def process_anyres_jpeg_native(jpeg_bytes: bytes, mean, std,
+                               grid_pinpoints, base_image_size: int):
+    """Native-decode anyres path: libjpeg decode + resize + normalize in
+    C++ (GIL-free), patches cut as numpy views. Semantics match
+    :func:`process_anyres_image` up to resampling filter (C bilinear vs
+    PIL bicubic). Returns None when the native lib is unavailable or the
+    bytes don't decode. Opt-in via MLLM_TPU_NATIVE_DECODE=1."""
+    from mllm_npu_tpu.data import native
+    if not native.available():
+        return None
+    from PIL import Image as _Img
+    import io as _io
+    # header-only size probe (cheap; no full decode)
+    try:
+        with _Img.open(_io.BytesIO(jpeg_bytes)) as im:
+            size = im.size
+    except Exception:  # noqa: BLE001
+        return None
+
+    possible = grid_pinpoints if isinstance(grid_pinpoints, list) \
+        else ast.literal_eval(grid_pinpoints)
+    w1, h1 = select_best_resolution(size, possible)
+    w2, h2 = select_best_resolution_v2(size, possible)
+    w, h = (w2, h2) if w1 * h1 > w2 * h2 else (w1, h1)
+
+    lib = native.load_library()
+    import ctypes
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    full = np.empty((h, w, 3), np.float32)
+    buf = (ctypes.c_uint8 * len(jpeg_bytes)).from_buffer_copy(jpeg_bytes)
+    ok = lib.jpeg_decode_resize_normalize(
+        buf, len(jpeg_bytes), h, w,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        full.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if not ok:
+        return None
+    thumb = np.empty((base_image_size, base_image_size, 3), np.float32)
+    lib.jpeg_decode_resize_normalize(
+        buf, len(jpeg_bytes), base_image_size, base_image_size,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        thumb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    gx, gy = w // base_image_size, h // base_image_size
+    patches = [full[i * base_image_size:(i + 1) * base_image_size,
+                    j * base_image_size:(j + 1) * base_image_size]
+               for i in range(gy) for j in range(gx)]
+    arrays = np.stack(patches + [thumb]).astype(np.float32)
+    x_idx = (np.tile(np.arange(gx), (gy, 1)) + 0.5) / gx
+    y_idx = (np.tile(np.arange(gy)[:, None], (1, gx)) + 0.5) / gy
+    pos = np.stack([x_idx, y_idx], axis=-1).reshape(-1, 2)
+    pos = np.concatenate([pos, np.asarray([[0.5, 0.5]])], axis=0)
+    return arrays, pos.astype(np.float32)

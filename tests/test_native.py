@@ -74,3 +74,24 @@ def test_jpeg_decode_batch_parallel():
                                    num_threads=4)
     assert outs.shape == (9, 32, 32, 3)
     assert ok[:8].all() and not ok[8]
+
+
+def test_native_anyres_matches_pil_shapes():
+    from mllm_npu_tpu.data.processor import ImageProcessor
+    from mllm_npu_tpu.data.utils import (process_anyres_image,
+                                         process_anyres_jpeg_native)
+    img = Image.new("RGB", (900, 500), (40, 90, 160))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    grids = [[448, 448], [896, 448], [448, 896]]
+    proc = ImageProcessor(height=448, width=448,
+                          image_mean=(0.5,) * 3, image_std=(0.5,) * 3)
+    ref_imgs, ref_pos = process_anyres_image(img, proc, grids, 448)
+    out = process_anyres_jpeg_native(buf.getvalue(), (0.5,) * 3,
+                                     (0.5,) * 3, grids, 448)
+    assert out is not None
+    nat_imgs, nat_pos = out
+    assert nat_imgs.shape == ref_imgs.shape
+    np.testing.assert_allclose(nat_pos, ref_pos, atol=1e-6)
+    # same grid selection + flat-color image -> nearly identical pixels
+    assert np.abs(nat_imgs - ref_imgs).mean() < 0.05
