@@ -61,12 +61,14 @@ class MLLMGenerator:
             patch_positions, method=self.model.embed_and_scatter)
 
     def _lm_forward(self, params, inputs_embeds=None, input_ids=None,
-                    cache=None, attn_mask=None, prefill=False):
+                    cache=None, attn_mask=None, positions=None,
+                    segment_ids=None, prefill=False):
         def fwd(m, **kw):
             return m.language_model(**kw)
         return self.model.apply(
             params, inputs_embeds=inputs_embeds, input_ids=input_ids,
-            cache=cache, attn_mask=attn_mask, prefill=prefill, method=fwd)
+            cache=cache, attn_mask=attn_mask, positions=positions,
+            segment_ids=segment_ids, prefill=prefill, method=fwd)
 
     def _output_project(self, params, windows):
         def proj(m, x):
@@ -98,25 +100,45 @@ class MLLMGenerator:
                     params, input_ids, None, None, None, None)
 
             cache = init_cache(cfg, B, max_len, dtype=self.cache_dtype)
-            # prefill: padding keys masked via attn_mask
-            am = prompt_mask[:, None, None, :].astype(bool)  # [B,1,1,Sp]
+            # right-padded prompts: per-row lengths via prompt_mask —
+            # positions restart-free cumsum, padding masked as segment 0,
+            # decode attends only to real prompt keys + generated keys
+            from mllm_npu_tpu.ops import SegmentIds
+            pm = prompt_mask.astype(jnp.int32)
+            row_len = pm.sum(axis=-1)                       # [B]
+            positions_p = jnp.clip(jnp.cumsum(pm, axis=-1) - 1, 0, None)
             logits, hidden, cache = self._lm_forward(
                 params, inputs_embeds=inputs_embeds, cache=cache,
-                attn_mask=None,  # right-pad-free prompts: full causal
+                positions=positions_p,
+                segment_ids=SegmentIds(q=pm, kv=pm),
                 prefill=True)    # flash over the prompt; cache write only
-            del am
-            last_logits = logits[:, -1].astype(jnp.float32)
+            idx_last = (row_len - 1)[:, None]
+            last_logits = jnp.take_along_axis(
+                logits, idx_last[:, :, None], axis=1)[:, 0].astype(
+                    jnp.float32)
+            last_token_ids = jnp.take_along_axis(input_ids, idx_last,
+                                                 axis=1)[:, 0]
             if ladder is not None:
                 last_logits = apply_image_ladder(
-                    last_logits, input_ids[:, -1], ladder)
+                    last_logits, last_token_ids, ladder)
             rng, sub = jax.random.split(rng)
             from mllm_npu_tpu.models.generation.sampler import _sample
             first_token = _sample(last_logits, sub, sampling)
-            first_hidden = hidden[:, -1]
+            first_hidden = jnp.take_along_axis(
+                hidden, idx_last[:, :, None], axis=1)[:, 0]
+
+            # keys valid over the whole cache: real prompt tokens +
+            # everything decoded after position Sp
+            base_valid = jnp.concatenate(
+                [pm.astype(bool),
+                 jnp.ones((B, max_len - Sp), bool)], axis=1)
+            decode_am = base_valid[:, None, None, :]
 
             def step(tok, cache):
+                pos_t = (row_len + (cache["pos"] - Sp))[:, None]
                 logits, h, cache = self._lm_forward(
-                    params, input_ids=tok, cache=cache)
+                    params, input_ids=tok, cache=cache,
+                    positions=pos_t, attn_mask=decode_am)
                 return (logits[:, -1].astype(jnp.float32), h[:, -1], cache)
 
             tokens, hiddens, done = decode_loop(
@@ -130,10 +152,12 @@ class MLLMGenerator:
 
     # -- public API --------------------------------------------------------
 
-    def generate(self, input_ids, *, images=None, embeds_cmp_mask=None,
-                 ids_cmp_mask=None, patch_positions=None, rng=None,
+    def generate(self, input_ids, *, prompt_mask=None, images=None,
+                 embeds_cmp_mask=None, ids_cmp_mask=None,
+                 patch_positions=None, rng=None,
                  num_img_gen_tokens: int = 64, max_gen_imgs: int = 4):
-        """input_ids: [B, Sp] (unpadded, equal lengths per batch).
+        """input_ids: [B, Sp]; optional ``prompt_mask`` [B, Sp] enables
+        right-padded batches with per-row prompt lengths.
 
         Returns dict with generated ids [B, T], per-step hidden states,
         and (for SEED) image-generation features."""
@@ -148,7 +172,10 @@ class MLLMGenerator:
         has_images = images is not None
         n_img = 0 if images is None else int(images.shape[0])
 
-        prompt_mask = jnp.ones((B, Sp), jnp.int32)
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((B, Sp), jnp.int32)
+        else:
+            prompt_mask = jnp.asarray(prompt_mask, jnp.int32)
         fn = self._get_compiled(Sp, has_images, n_img)
         tokens, hiddens = fn(self.params, input_ids, prompt_mask,
                              images, embeds_cmp_mask, ids_cmp_mask,

@@ -100,3 +100,36 @@ def test_generate_with_images_runs():
     # image content must influence decoding vs no image
     out2 = gen.generate(jnp.asarray(prompt))
     assert out["generate_ids"].shape == out2["generate_ids"].shape
+
+
+def test_padded_batch_matches_individual_generation():
+    """Right-padded batch with different prompt lengths must produce the
+    same tokens as generating each prompt alone."""
+    model, lm_cfg, _ = build_tiny_mllm(SPEC)
+    batch = synthetic_batch(SPEC, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    T = 6
+    gen = MLLMGenerator(
+        model, lm_cfg, params,
+        sampling=SamplingConfig(max_new_tokens=T, do_sample=False,
+                                eos_token_id=-1),
+        cache_dtype=jnp.float32)
+
+    a = [3, 17, 42, 9]
+    b = [100, 7, 55, 81, 23, 64, 12, 30]
+    Sp = len(b)
+    ids = np.zeros((2, Sp), np.int32)
+    mask = np.zeros((2, Sp), np.int32)
+    ids[0, :len(a)] = a
+    mask[0, :len(a)] = 1
+    ids[1] = b
+    mask[1] = 1
+    out = gen.generate(jnp.asarray(ids), prompt_mask=jnp.asarray(mask))
+    got = np.asarray(out["generate_ids"])
+
+    solo_a = np.asarray(gen.generate(
+        jnp.asarray([a], jnp.int32))["generate_ids"][0])
+    solo_b = np.asarray(gen.generate(
+        jnp.asarray([b], jnp.int32))["generate_ids"][0])
+    np.testing.assert_array_equal(got[0], solo_a)
+    np.testing.assert_array_equal(got[1], solo_b)
