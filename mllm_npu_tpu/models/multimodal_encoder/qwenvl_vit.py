@@ -38,6 +38,9 @@ class QwenViTConfig:
     patch_pos: bool = False
     ln_eps: float = 1e-6
     remat: bool = True
+    # absolute position table entries (256 in the reference,
+    # qwenvl_vit.py:238; bicubic-resized to the actual token grid)
+    pos_embed_size: int = 256
 
     @property
     def mlp_width(self) -> int:
@@ -57,6 +60,7 @@ class QwenViTConfig:
         kw.setdefault("n_queries", 16)
         kw.setdefault("output_dim", 128)
         kw.setdefault("remat", False)
+        kw.setdefault("pos_embed_size", 16)
         return cls(**kw)
 
 
@@ -79,7 +83,8 @@ class VisionTransformer(nn.Module):
 
         pos = self.param("positional_embedding",
                          nn.initializers.normal(stddev=cfg.width ** -0.5),
-                         (256, cfg.width), self.param_dtype)
+                         (cfg.pos_embed_size, cfg.width),
+                         self.param_dtype)
         x = x + interpolate_abs_pos(pos.astype(self.dtype), x.shape[1])[None]
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
@@ -110,7 +115,7 @@ class VisionTransformerWithAttnPool(nn.Module):
         grid = int(cfg.n_queries ** 0.5)
         x = AttentionResampler(
             grid_size=grid, embed_dim=cfg.output_dim,
-            num_heads=cfg.output_dim // 128, kv_dim=cfg.width,
+            num_heads=max(cfg.output_dim // 128, 1), kv_dim=cfg.width,
             ln_eps=cfg.ln_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attn_pool")(x)
 

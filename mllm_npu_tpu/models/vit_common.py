@@ -37,16 +37,45 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
 
 
+def _torch_bicubic_weights(src: int, tgt: int) -> np.ndarray:
+    """Interpolation matrix [tgt, src] matching torch's
+    upsample_bicubic2d (align_corners=False, A=-0.75): checkpoint pos
+    tables must interpolate exactly like the reference (get_abs_pos,
+    attention_resampler.py:12-30) or converted weights drift."""
+    A = -0.75
+
+    def cubic(x):
+        x = abs(x)
+        if x <= 1:
+            return (A + 2) * x ** 3 - (A + 3) * x ** 2 + 1
+        if x < 2:
+            return A * x ** 3 - 5 * A * x ** 2 + 8 * A * x - 4 * A
+        return 0.0
+
+    W = np.zeros((tgt, src), np.float64)
+    scale = src / tgt
+    for i in range(tgt):
+        coord = (i + 0.5) * scale - 0.5
+        i0 = math.floor(coord)
+        frac = coord - i0
+        for k in range(-1, 3):
+            w = cubic(k - frac)
+            j = min(max(i0 + k, 0), src - 1)   # clamp at edges
+            W[i, j] += w
+    return W.astype(np.float32)
+
+
 def interpolate_abs_pos(pos: jax.Array, tgt_len: int) -> jax.Array:
-    """Bicubic-resize a square [L, C] pos table to [tgt_len, C]
-    (reference: attention_resampler.py:12-30 get_abs_pos). Shapes are
-    static under jit, so this resolves at trace time."""
+    """Bicubic-resize a square [L, C] pos table to [tgt_len, C] with
+    torch-exact weights (static shapes — resolves at trace time)."""
     src = int(math.sqrt(pos.shape[0]))
     tgt = int(math.sqrt(tgt_len))
     if src == tgt:
         return pos
+    W = jnp.asarray(_torch_bicubic_weights(src, tgt), jnp.float32)
     grid = pos.reshape(src, src, -1).astype(jnp.float32)
-    out = jax.image.resize(grid, (tgt, tgt, pos.shape[-1]), method="cubic")
+    out = jnp.einsum("ts,shc->thc", W, grid)
+    out = jnp.einsum("ts,hsc->htc", W, out)
     return out.reshape(tgt * tgt, -1).astype(pos.dtype)
 
 

@@ -281,9 +281,27 @@ def torch_to_flax_qwen_vit(sd: Dict[str, Any], config) -> dict:
 
     rb = pre + "transformer.resblocks.{}"
 
+    def _visual_attn(i):
+        # reference VisualAttention uses an nn.Linear 'in_proj'
+        # ([3E, E] fused) + out_proj (qwenvl_vit.py:43-44)
+        pre = rb.format(i) + ".attn."
+        if pre + "in_proj_weight" in sd:
+            return convert_torch_mha(sd, pre)
+        w = _t(sd[pre + "in_proj.weight"])
+        b = _t(sd[pre + "in_proj.bias"])
+        E = w.shape[0] // 3
+        qw, kw, vw = w[:E], w[E:2 * E], w[2 * E:]
+        qb, kb, vb = b[:E], b[E:2 * E], b[2 * E:]
+        return {
+            "q_proj": {"kernel": qw.T, "bias": qb},
+            "k_proj": {"kernel": kw.T, "bias": kb},
+            "v_proj": {"kernel": vw.T, "bias": vb},
+            "out_proj": {"kernel": _t(sd[pre + "out_proj.weight"]).T,
+                         "bias": _t(sd[pre + "out_proj.bias"])},
+        }
+
     def stack_mha():
-        per = [convert_torch_mha(sd, rb.format(i) + ".attn.")
-               for i in range(L)]
+        per = [_visual_attn(i) for i in range(L)]
         out = {}
         for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
             out[name] = {

@@ -239,3 +239,161 @@ def test_perceiver_resampler_parity_with_reference_arch():
                                rtol=5e-3)
     np.testing.assert_allclose(np.asarray(pool), ref_pool.numpy(),
                                atol=5e-4, rtol=5e-3)
+
+
+def test_qwen_vit_parity_with_reference_arch():
+    """Torch structural replica of the reference Qwen-VL ViT
+    (qwenvl_vit.py:206-310: conv1 → abs-pos → ln_pre → pre-LN blocks →
+    attn-pool resampler → ln_post → proj) vs our Flax tower after
+    conversion."""
+    import math
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
+        QwenViTConfig, VisionTransformerWithAttnPool)
+    from mllm_npu_tpu.utils.weights import torch_to_flax_qwen_vit
+
+    cfg = QwenViTConfig(image_size=56, patch_size=14, width=64, layers=2,
+                        heads=4, mlp_ratio=2.0, n_queries=4,
+                        output_dim=32, remat=False, pos_embed_size=16)
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = tnn.LayerNorm(cfg.width, eps=1e-6)
+            self.ln_2 = tnn.LayerNorm(cfg.width, eps=1e-6)
+
+            class A(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.in_proj = tnn.Linear(cfg.width, 3 * cfg.width)
+                    self.out_proj = tnn.Linear(cfg.width, cfg.width)
+
+                def forward(self, x):  # [B, L, C]
+                    B, L, C = x.shape
+                    qkv = self.in_proj(x)
+                    q, k, v = qkv.chunk(3, dim=-1)
+                    H = cfg.heads
+                    D = C // H
+
+                    def rs(t):
+                        return t.view(B, L, H, D).transpose(1, 2)
+
+                    q, k, v = rs(q), rs(k), rs(v)
+                    w = torch.softmax(
+                        (q @ k.transpose(-2, -1)) / math.sqrt(D), dim=-1)
+                    out = (w @ v).transpose(1, 2).reshape(B, L, C)
+                    return self.out_proj(out)
+
+            self.attn = A()
+            self.mlp = tnn.Sequential()
+            self.mlp.add_module("c_fc", tnn.Linear(cfg.width,
+                                                   cfg.mlp_width))
+            self.mlp.add_module("gelu", tnn.GELU())
+            self.mlp.add_module("c_proj", tnn.Linear(cfg.mlp_width,
+                                                     cfg.width))
+
+        def forward(self, x):
+            x = x + self.attn(self.ln_1(x))
+            return x + self.mlp(self.ln_2(x))
+
+    class TQwen(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, cfg.width, cfg.patch_size,
+                                    cfg.patch_size, bias=False)
+            g = cfg.image_size // cfg.patch_size
+            self.positional_embedding = tnn.Parameter(
+                torch.randn(g * g, cfg.width) * cfg.width ** -0.5)
+            self.ln_pre = tnn.LayerNorm(cfg.width, eps=1e-6)
+
+            class T(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.resblocks = tnn.ModuleList(
+                        [TBlock() for _ in range(cfg.layers)])
+
+                def forward(self, x):
+                    for b in self.resblocks:
+                        x = b(x)
+                    return x
+
+            self.transformer = T()
+            # attn_pool: same structure as the reference AttentionResampler
+            from mllm_npu_tpu.models.vit_common import get_2d_sincos_pos_embed
+
+            class TPool(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    grid = int(cfg.n_queries ** 0.5)
+                    E = cfg.output_dim
+                    self.pos_embed = tnn.Parameter(
+                        torch.from_numpy(
+                            get_2d_sincos_pos_embed(E, grid)).float(),
+                        requires_grad=False)
+                    self.query = tnn.Parameter(
+                        torch.randn(cfg.n_queries, E) * 0.02)
+                    self.kv_proj = tnn.Linear(cfg.width, E, bias=False)
+                    self.attn = tnn.MultiheadAttention(E, max(E // 128, 1))
+                    self.ln_q = tnn.LayerNorm(E, eps=1e-6)
+                    self.ln_kv = tnn.LayerNorm(E, eps=1e-6)
+
+                def forward(self, x):
+                    from mllm_npu_tpu.models.vit_common import (
+                        interpolate_abs_pos)
+                    import numpy as _np
+                    # same grid here: src 2x2 vs L=16? interpolate in torch
+                    src = int(self.pos_embed.shape[0] ** 0.5)
+                    tgt = int(x.shape[1] ** 0.5)
+                    pos = self.pos_embed
+                    if src != tgt:
+                        pos = F.interpolate(
+                            pos.reshape(1, src, src, -1).permute(0, 3, 1, 2),
+                            size=(tgt, tgt), mode="bicubic",
+                            align_corners=False
+                        ).permute(0, 2, 3, 1).reshape(tgt * tgt, -1)
+                    x = self.kv_proj(x)
+                    x = self.ln_kv(x).permute(1, 0, 2)
+                    N = x.shape[1]
+                    q = self.ln_q(self.query)
+                    out = self.attn(
+                        q.unsqueeze(1).repeat(1, N, 1)
+                        + self.pos_embed.unsqueeze(1),
+                        x + pos.unsqueeze(1), x)[0]
+                    return out.permute(1, 0, 2)
+
+            self.attn_pool = TPool()
+            self.ln_post = tnn.LayerNorm(cfg.output_dim, eps=1e-6)
+            self.proj = tnn.Parameter(
+                torch.randn(cfg.output_dim, cfg.output_dim)
+                * cfg.output_dim ** -0.5)
+
+        def forward(self, x):
+            x = self.conv1(x)
+            x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+            # same token count as the table? interpolate like get_abs_pos
+            pos = self.positional_embedding
+            x = x + pos
+            x = self.ln_pre(x)
+            x = self.transformer(x)
+            x = self.attn_pool(x)
+            x = self.ln_post(x)
+            return x @ self.proj
+
+    torch.manual_seed(0)
+    tm = TQwen().eval()
+    imgs = torch.randn(2, 3, 56, 56)
+    with torch.no_grad():
+        ref = tm(imgs).float().numpy()
+
+    sd = tm.state_dict()
+    # our converter expects the reference's 256-entry pos table name and
+    # the bare attn_pool.* names — the replica matches except pos_embed
+    sd["attn_pool.pos_embed"] = sd.pop("attn_pool.pos_embed") \
+        if "attn_pool.pos_embed" in sd else sd["attn_pool.pos_embed"]
+    tree = torch_to_flax_qwen_vit(sd, cfg)
+    model = VisionTransformerWithAttnPool(cfg, dtype=jnp.float32)
+    out = model.apply({"params": tree},
+                      jnp.asarray(imgs.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-3)
