@@ -335,7 +335,7 @@ def build_caption_datapipes_with_pixels(
         num_img_in_tokens=64, num_img_out_tokens=64, assure_text=True,
         cycle_count=None, multi_resolution=False, resolution_grids=None,
         base_resolution=224, dataset_name=None, max_images_per_batch=None,
-        seed=888, shard_for_host=True, **kw):
+        seed=888, shard_for_host=True, packing=False, **kw):
     """Generator-pipeline equivalent of the reference builder
     (image_caption.py:540-641). Yields per-sample dicts; with batch_size,
     yields static collated batches."""
@@ -417,4 +417,21 @@ def build_caption_datapipes_with_pixels(
                     dataset_name=dataset_name)
                 buf = []
 
-    return batch_iter()
+    def packed_iter() -> Iterator[dict]:
+        # sample packing: segment-id rows (TPU throughput headroom the
+        # reference leaves on the table, SURVEY.md §5.7). batch_size here
+        # = samples gathered per packed batch; rows = batch_size // 2
+        # (≈2x density at the reference's ~50%-padding lengths).
+        from mllm_npu_tpu.data.utils import pack_samples
+        rows = max(batch_size // 2, 1)
+        buf = []
+        for s in sample_iter():
+            buf.append(s)
+            if len(buf) == batch_size:
+                yield pack_samples(
+                    buf, max_length=max_length, max_rows=rows,
+                    max_images=max_imgs, image_size=img_size,
+                    dataset_name=dataset_name)
+                buf = []
+
+    return packed_iter() if packing else batch_iter()

@@ -179,3 +179,21 @@ def test_sample_multiplexer_weights():
     assert len(out) == 200
     # first 50 should be heavily 'a'
     assert out[:50].count("a") > 30
+
+
+def test_caption_pipeline_packing(tmp_path):
+    _make_caption_tar(tmp_path / "shard-000.tar", n=8)
+    pipe = build_caption_datapipes_with_pixels(
+        str(tmp_path), tokenizer=TOK, max_length=192, batch_size=4,
+        similarity_thr=0.2, min_resolution=100, image_transform=PROC,
+        num_img_in_tokens=8, num_img_out_tokens=8, cycle_count=2,
+        multi_resolution=True, resolution_grids=["1x1"],
+        base_resolution=448, dataset_name="test", shard_for_host=False,
+        packing=True)
+    b = next(iter(pipe))
+    assert b["input_ids"].shape == (2, 192)   # 4 samples → 2 packed rows
+    am = b["attention_mask"]
+    assert am.max() >= 2   # at least one row holds 2+ segments
+    # per-image spans still line up with image slots
+    n_imgs = int(b["embeds_cmp_mask"].sum())
+    assert int(b["ids_cmp_mask"].sum()) == 8 * n_imgs
