@@ -62,6 +62,8 @@ def test_our_mllm_config_instantiates_and_runs():
     _forward(mllm, llm.config, vis_cfg)
 
 
+@pytest.mark.skipif(not REF_CFG.exists(),
+                    reason="reference repo not mounted")
 def test_reference_yaml_translates():
     """The reference repo's own YAML instantiates through the
     translation table (targets mllm_npu.* -> mllm_npu_tpu.*)."""
@@ -81,6 +83,8 @@ def test_our_seedx_config_instantiates():
     assert mllm.module.output_projector is not None
 
 
+@pytest.mark.skipif(not REF_CFG.exists(),
+                    reason="reference repo not mounted")
 def test_reference_seedx_yaml_translates():
     ref = Path("/root/reference/mllm_npu/configs/models/"
                "seedx_llama2_13b_qwenvl_vitg.yaml")
