@@ -234,8 +234,13 @@ def main(argv=None):
             loss_v = float(loss)
             dt = (time.time() - t0) / args.log_steps
             t0 = time.time()
+            tokens = int(np.prod(batch["input_ids"].shape))
+            n_imgs = int(batch["images"].shape[-4]) \
+                if "images" in batch else 0
             msg = {"step": step, "loss": round(loss_v, 4),
-                   "sec/step": round(dt, 3)}
+                   "sec/step": round(dt, 3),
+                   "tokens/s": round(tokens / max(dt, 1e-9)),
+                   "images/s": round(n_imgs / max(dt, 1e-9), 2)}
             for k, v in metrics.items():
                 msg[k] = round(float(v), 4)
             log.info(json.dumps(msg))
