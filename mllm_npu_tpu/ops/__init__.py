@@ -103,14 +103,16 @@ def multi_head_attention(
                    and Sq >= _FLASH_MIN_SEQ)
         use_flash = (ok_base and Sq % 128 == 0 and Sk % 128 == 0
                      and D % 128 == 0)
-        # awkward shapes (vision towers): pad into the kernel only when
-        # the padding FLOP waste stays small — e.g. Qwen-ViT D=104→128
-        # (1.23x) qualifies, SigLIP D=72→128 (~2x) stays on the eager
-        # path where XLA's fused attention is already compute-bound
+        # awkward shapes (vision towers): pad into the kernel when the
+        # padding FLOP waste is bounded. Measured on v5e: padded flash
+        # beats XLA eager 1.85x at the Qwen-ViT shape (waste 1.23x) and
+        # 1.7x even at the SigLIP shape (waste ~2x) — eager is memory-
+        # bound on the fp32 S² logits, so FLOP waste is the wrong cost
+        # model until ~2x.
         if ok_base and not use_flash:
             pad_waste = (_pad_to(Sq, 128) * _pad_to(Sk, 128)
                          * max(_pad_to(D, 128), 128)) / (Sq * Sk * D)
-            use_padded = pad_waste <= 1.35
+            use_padded = pad_waste <= 2.05
     if use_flash:
         return flash_attention(
             q, k, v, causal=causal, segment_ids=segment_ids, scale=scale,
