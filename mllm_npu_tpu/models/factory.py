@@ -125,13 +125,15 @@ def get_peft_model_with_resize_embedding(model: ModelBundle = None,
     assert model is not None
     cfg = model.config
     r, alpha, targets = 32, 32.0, cfg.lora_targets
+    dropout = 0.0
     if isinstance(peft_config, dict):
         r = peft_config.get("r", r)
         alpha = float(peft_config.get("lora_alpha", alpha))
         targets = tuple(peft_config.get("target_modules", targets))
+        dropout = float(peft_config.get("lora_dropout", 0.0))
     cfg = dataclasses.replace(
         cfg, lora_rank=r, lora_alpha=alpha, lora_targets=targets,
-        vocab_size=vocab_size or cfg.vocab_size)
+        lora_dropout=dropout, vocab_size=vocab_size or cfg.vocab_size)
     module = LlamaForCausalLM(cfg, dtype=model.module.dtype)
     # re-convert weights under the LoRA layout if we had them
     params = None

@@ -53,12 +53,12 @@ class LlamaConfig:
     remat_policy: str = "nothing"
     scan_layers: bool = True
     # LoRA (peft parity — reference: peft_models.py:15-99 + LoraConfig in
-    # configs/models/*.yaml: r=32, alpha=32, targets = all proj matrices).
-    # lora_dropout is accepted for config parity but not applied (the
-    # reference trains with 0.05; dropout needs an rng plumb-through that
-    # lands with the trainer's rngs arg).
+    # configs/models/*.yaml: r=32, alpha=32, dropout 0.05, targets = all
+    # proj matrices). Dropout activates when the train step supplies a
+    # 'dropout' rng.
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
     lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj",
                            "gate_proj", "up_proj", "down_proj")
 
@@ -93,10 +93,13 @@ class LlamaConfig:
 class LoRADense(nn.Module):
     """Dense + low-rank adapter (peft.LoraConfig parity). Base kernel under
     'base/kernel'; adapters 'lora_a'/'lora_b' (B initialized to zero so the
-    wrapped model starts identical to the base)."""
+    wrapped model starts identical to the base). Dropout on the adapter
+    input (peft lora_dropout semantics) activates only when a 'dropout'
+    rng is supplied (training); inference stays deterministic."""
     features: int
     rank: int
     alpha: float
+    dropout_rate: float = 0.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -109,7 +112,11 @@ class LoRADense(nn.Module):
         b = self.param("lora_b", nn.initializers.zeros,
                        (self.rank, self.features), self.param_dtype)
         scale = self.alpha / self.rank
-        delta = (x @ a.astype(x.dtype)) @ b.astype(x.dtype)
+        xd = x
+        if self.dropout_rate > 0.0 and self.has_rng("dropout"):
+            xd = nn.Dropout(rate=self.dropout_rate,
+                            deterministic=False)(x)
+        delta = (xd @ a.astype(xd.dtype)) @ b.astype(xd.dtype)
         return y + delta * scale
 
 
@@ -118,6 +125,7 @@ def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
     def dense(features, name):
         if cfg.lora_rank > 0 and name in cfg.lora_targets:
             return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
+                             dropout_rate=cfg.lora_dropout,
                              dtype=dtype, param_dtype=param_dtype, name=name)
         return nn.Dense(features, use_bias=False, dtype=dtype,
                         param_dtype=param_dtype, name=name)
@@ -325,7 +333,7 @@ class LlamaModel(nn.Module):
             scan = nn.scan(
                 body,
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                split_rngs={"params": True, "dropout": True},
                 length=cfg.num_hidden_layers,
                 in_axes=0, out_axes=0,
             )

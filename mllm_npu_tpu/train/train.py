@@ -163,8 +163,8 @@ def main(argv=None):
     state = create_train_state(params, opt_cfg)
     del params
 
-    def loss_fn(p, batch):
-        out = model.apply(p, **batch)
+    def loss_fn(p, batch, rng):
+        out = model.apply(p, **batch, rngs={"dropout": rng})
         metrics = {k: v for k, v in out.items() if k != "total_loss"}
         return out["total_loss"], metrics
 

@@ -113,15 +113,22 @@ def create_train_state(params: Any, config: OptimizerConfig) -> TrainState:
 
 def make_train_step(loss_fn: Callable[[Any, Any], tuple],
                     grad_accum: int = 1):
-    """loss_fn(params, batch) -> (total_loss, metrics dict).
+    """loss_fn(params, batch[, rng]) -> (total_loss, metrics dict).
 
-    With grad_accum > 1 the batch's leading dims must be
-    [grad_accum, micro_batch, ...]; grads are averaged across
-    microbatches via lax.scan (constant memory).
+    A per-step dropout rng (derived from the step counter) is passed
+    when the loss_fn accepts three arguments. With grad_accum > 1 the
+    batch's leading dims must be [grad_accum, micro_batch, ...]; grads
+    are averaged across microbatches via lax.scan (constant memory).
     """
+    import inspect
+    wants_rng = len(inspect.signature(loss_fn).parameters) >= 3
 
     def step(state: TrainState, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def single(params, b):
+            if wants_rng:
+                return loss_fn(params, b, rng)
             return loss_fn(params, b)
 
         if grad_accum == 1:

@@ -81,3 +81,31 @@ def test_grad_flows():
     leaf = g["params"]["model"]["layers"]["mlp"]["gate_proj"]["kernel"]
     assert np.isfinite(np.asarray(leaf)).all()
     assert float(jnp.abs(leaf).sum()) > 0
+
+
+def test_lora_dropout_active_only_with_rng():
+    cfg = LlamaConfig.tiny(attention_impl="eager", lora_rank=4,
+                           lora_alpha=8.0, lora_dropout=0.5,
+                           lora_targets=("q_proj",))
+    model = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0,
+                             cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), ids)
+    # make lora_b nonzero so the adapter path actually contributes
+    import flax
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    for k in flat:
+        if k[-1] == "lora_b":
+            flat[k] = jnp.ones_like(flat[k]) * 0.1
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+
+    det1, _, _ = model.apply(params, ids)
+    det2, _, _ = model.apply(params, ids)
+    np.testing.assert_array_equal(np.asarray(det1), np.asarray(det2))
+
+    r1, _, _ = model.apply(params, ids,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    r2, _, _ = model.apply(params, ids,
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 0
+    assert np.abs(np.asarray(r1) - np.asarray(det1)).max() > 0
