@@ -28,6 +28,7 @@ def main():
     p.add_argument("--prompt_tokens", type=int, default=512)
     p.add_argument("--patches", type=int, default=5)
     p.add_argument("--decode_tokens", type=int, default=32)
+    p.add_argument("--fp32_weights", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -82,6 +83,11 @@ def main():
         jnp.ones((B, S), jnp.int32), input_ids,
         jnp.zeros((N,), bool), embeds_cmp,
         jnp.zeros((B, S), bool), jnp.asarray(ids_cmp), ppos)
+    if not args.fp32_weights:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params)
 
     max_len = S + args.decode_tokens
 

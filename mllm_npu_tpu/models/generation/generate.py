@@ -42,9 +42,17 @@ class MLLMGenerator:
                  sampling: SamplingConfig = SamplingConfig(),
                  ladder: Optional[ImageTokenLadder] = None,
                  prompt_bucket: int = 128,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 cast_params_bf16: bool = False):
         self.model = model
         self.lm_config = lm_config
+        if cast_params_bf16:
+            # inference is weight-bandwidth-bound (every decode step
+            # streams all weights from HBM); bf16 storage halves it
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         self.params = params
         self.sampling = sampling
         self.ladder = ladder

@@ -49,7 +49,8 @@ class InferenceEngine:
                  num_img_out_tokens: int = NUM_IMG_TOKENS,
                  max_new_tokens: int = 512,
                  prompt_bucket: int = 128,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 cast_params_bf16: bool = True):
         self.tokenizer = tokenizer
         self.image_transform = image_transform
         self.adapter = adapter
@@ -73,7 +74,8 @@ class InferenceEngine:
                                     else -1,
                                     pad_token_id=getattr(
                                         tokenizer, "pad_token_id", 0) or 0),
-            ladder=ladder, cache_dtype=cache_dtype)
+            ladder=ladder, cache_dtype=cache_dtype,
+            cast_params_bf16=cast_params_bf16)
 
     # -- helpers -----------------------------------------------------------
 
