@@ -311,3 +311,219 @@ class SD21Text2ImageAndEditAdapter(SDXLText2ImageAndEditAdapter):
     """SD-2.1 flavor (reference adapter_modules.py:649): same adapter
     over a UNetConfig.sd21() denoiser (no added-cond micro embedding);
     single-width prompt embeds, so pair it with a plain Resampler."""
+
+
+# -- IP-Adapter (SD-1.5 decoupled image cross-attention) ---------------------
+
+
+def init_ip_adapter_params(unet_params: dict) -> dict:
+    """Copy each cross-attention's to_k/to_v weights into to_k_ip/to_v_ip
+    (reference IPAdapterSD.set_ip_adapter seeds the IP projections from
+    the UNet's own weights, adapter_modules.py:52-59). Returns a new
+    params tree; build the UNet with ``UNetConfig(ip_num_image_tokens>0)``
+    so the _ip params exist."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(unet_params)
+    out = dict(flat)
+    for path, leaf in flat.items():
+        for src, dst in (("to_k", "to_k_ip"), ("to_v", "to_v_ip")):
+            if src in path and "attn2" in path:
+                i = path.index(src)
+                ip_path = path[:i] + (dst,) + path[i + 1:]
+                if ip_path in flat:
+                    out[ip_path] = leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def ip_adapter_trainable_patterns() -> tuple:
+    """Frozen-param regexes: train the resampler + the IP projections
+    (reference set_trainable, adapter_modules.py:65-68: unet frozen,
+    resampler + adapter [to_k_ip/to_v_ip] trainable)."""
+    return (r"unet/(?!.*to_[kv]_ip/).*",)
+
+
+class IPAdapterSD:
+    """IP-Adapter over an SD-1.5-class UNet (reference IPAdapterSD,
+    adapter_modules.py:29-137): image embeds → resampler → N image
+    tokens appended to the text context; every cross-attention runs a
+    decoupled second attention over them (UNetConfig.ip_num_image_tokens).
+    """
+
+    def __init__(self, *, unet_module, unet_params, resampler_module,
+                 resampler_params):
+        assert unet_module.config.ip_num_image_tokens > 0, \
+            "build the UNet with UNetConfig(ip_num_image_tokens=N)"
+        self.unet_module = unet_module
+        self.unet_params = unet_params
+        self.resampler_module = resampler_module
+        self.resampler_params = resampler_params
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.unet_module.config.ip_num_image_tokens
+
+    def encode_image_embeds(self, image_embeds):
+        """(reference adapter_modules.py:83-87)."""
+        out = self.resampler_module.apply(self.resampler_params,
+                                          image_embeds)
+        if isinstance(out, tuple):  # XL-style resampler returns (pe, pooled)
+            out = out[0]
+        return out.astype(image_embeds.dtype)
+
+    def loss_fn(self, params: dict, batch: dict) -> tuple:
+        """params: {'unet','resampler'}; batch: noisy_latents [B,h,w,4],
+        timesteps [B], image_embeds [B,L,D], text_embeds [B,77,ctx],
+        noise — MSE on noise prediction (reference forward,
+        adapter_modules.py:72-81)."""
+        img_tokens = self.resampler_module.apply(params["resampler"],
+                                                 batch["image_embeds"])
+        if isinstance(img_tokens, tuple):
+            img_tokens = img_tokens[0]
+        context = jnp.concatenate(
+            [batch["text_embeds"],
+             img_tokens.astype(batch["text_embeds"].dtype)], axis=1)
+        noise_pred = self.unet_module.apply(
+            params["unet"], batch["noisy_latents"], batch["timesteps"],
+            context)
+        loss = jnp.mean((noise_pred.astype(jnp.float32)
+                         - batch["noise"].astype(jnp.float32)) ** 2)
+        return loss, {"noise_pred": noise_pred}
+
+    @classmethod
+    def from_pretrained(cls, unet_module, unet_params, resampler_module,
+                        resampler_params, pretrained_model_path=None,
+                        seed_ip_from_unet: bool = True, **kw):
+        if seed_ip_from_unet:
+            unet_params = init_ip_adapter_params(unet_params)
+        adapter = cls(unet_module=unet_module, unet_params=unet_params,
+                      resampler_module=resampler_module,
+                      resampler_params=resampler_params, **kw)
+        if pretrained_model_path is not None:
+            from mllm_npu_tpu.utils.weights import load_torch_file
+            sd = load_torch_file(pretrained_model_path)
+            log.info("ip-adapter checkpoint with %d tensors loaded",
+                     len(sd))
+        return adapter
+
+
+class IPAdapterSDPipe:
+    """Inference pipe (reference IPAdapterSDPipe, adapter_modules.py:
+    134-259): image → visual encoder → discrete model → resampler →
+    image tokens; CFG with a zero-image negative; prompt text arrives as
+    precomputed ``prompt_embeds`` (this framework is text-encoder-free —
+    the reference calls sd_pipe.encode_prompt with a CLIP text encoder;
+    callers here pass CLIP-space embeds or zeros)."""
+
+    def __init__(self, *, ip_adapter: IPAdapterSD, discrete_model=None,
+                 vae_module=None, vae_params=None, visual_encoder=None,
+                 image_transform=None,
+                 scheduler: Optional[EulerDiscreteScheduler] = None,
+                 text_context_len: int = 77):
+        self.ip_adapter = ip_adapter
+        self.discrete_model = discrete_model
+        self.vae_module = vae_module
+        self.vae_params = vae_params
+        self.visual_encoder = visual_encoder
+        self.image_transform = image_transform
+        self.scheduler = scheduler or EulerDiscreteScheduler()
+        self.text_context_len = text_context_len
+        self.ip_scale = 1.0
+        self._denoise_cache = {}
+
+    def set_scale(self, scale: float):
+        """(reference adapter_modules.py:171-174) — a traced scalar here,
+        so changing it does NOT recompile the denoise loop."""
+        self.ip_scale = float(scale)
+
+    def get_image_embeds(self, image_pil=None, image_tensor=None,
+                         return_negative=True):
+        """(reference adapter_modules.py:176-195): zero-image negative
+        through the same encoder stack, batched in one pass."""
+        if image_pil is not None:
+            assert self.image_transform is not None
+            image_tensor = jnp.asarray(
+                self.image_transform(image_pil))[None]
+        if return_negative:
+            image_tensor = jnp.concatenate(
+                [image_tensor, jnp.zeros_like(image_tensor)], axis=0)
+        module, params = self.visual_encoder
+        embeds = module.apply(params, image_tensor)
+        if self.discrete_model is not None:
+            embeds = self.discrete_model(embeds)
+        tokens = self.ip_adapter.encode_image_embeds(embeds)
+        if return_negative:
+            pos, neg = jnp.split(tokens, 2, axis=0)
+            return pos, neg
+        return tokens, None
+
+    def _denoise_fn(self, num_steps: int, height: int, width: int):
+        key = (num_steps, height, width)
+        if key in self._denoise_cache:
+            return self._denoise_cache[key]
+
+        ts, sigmas = self.scheduler.make_schedule(num_steps)
+        unet = self.ip_adapter.unet_module
+
+        @jax.jit
+        def run(unet_params, vae_params, latents, context_pos,
+                context_neg, guidance, ip_scale):
+            B = latents.shape[0]
+            context = jnp.concatenate([context_neg, context_pos], axis=0)
+
+            def body(i, lat):
+                sigma, sigma_next, t = sigmas[i], sigmas[i + 1], ts[i]
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = EulerDiscreteScheduler.scale_model_input(lat_in,
+                                                                  sigma)
+                eps = unet.apply(unet_params, lat_in,
+                                 jnp.broadcast_to(t, (2 * B,)), context,
+                                 ip_scale=ip_scale)
+                e_neg, e_pos = jnp.split(eps, 2, axis=0)
+                eps = e_neg + guidance * (e_pos - e_neg)
+                return EulerDiscreteScheduler.step(eps.astype(jnp.float32),
+                                                   lat, sigma, sigma_next)
+
+            lat = jax.lax.fori_loop(0, num_steps, body, latents)
+            return self.vae_module.apply(
+                vae_params, lat / self.vae_module.config.scaling_factor,
+                method=self.vae_module.decode)
+
+        self._denoise_cache[key] = run
+        return run
+
+    def generate(self, image_pil=None, image_tensor=None,
+                 prompt_embeds=None, negative_prompt_embeds=None,
+                 scale=1.0, num_samples=1, seed=42, guidance_scale=7.5,
+                 num_inference_steps=30, height=512, width=512, **kw):
+        """(reference adapter_modules.py:197-259)."""
+        self.set_scale(scale)
+        ip_pos, ip_neg = self.get_image_embeds(
+            image_pil=image_pil, image_tensor=image_tensor,
+            return_negative=True)
+        if num_samples > 1:
+            ip_pos = jnp.repeat(ip_pos, num_samples, axis=0)
+            ip_neg = jnp.repeat(ip_neg, num_samples, axis=0)
+        B = ip_pos.shape[0]
+        ctx_dim = self.ip_adapter.unet_module.config.cross_attention_dim
+        if prompt_embeds is None:
+            prompt_embeds = jnp.zeros((B, self.text_context_len, ctx_dim),
+                                      jnp.float32)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        context_pos = jnp.concatenate(
+            [prompt_embeds, ip_pos.astype(prompt_embeds.dtype)], axis=1)
+        context_neg = jnp.concatenate(
+            [negative_prompt_embeds,
+             ip_neg.astype(prompt_embeds.dtype)], axis=1)
+
+        f = self.vae_module.config.spatial_scale_factor
+        rng = jax.random.PRNGKey(seed if seed is not None else 0)
+        latents = jax.random.normal(
+            rng, (B, height // f, width // f, 4), jnp.float32) \
+            * self.scheduler.init_noise_sigma
+        run = self._denoise_fn(num_inference_steps, height, width)
+        imgs = run(self.ip_adapter.unet_params, self.vae_params, latents,
+                   context_pos, context_neg, jnp.float32(guidance_scale),
+                   jnp.float32(self.ip_scale))
+        return [_to_pil(np.asarray(img)) for img in imgs]

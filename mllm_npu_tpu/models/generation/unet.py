@@ -51,6 +51,14 @@ class UNetConfig:
     # adapter_modules.py:427-470)
     lora_rank: int = 0
     lora_targets: tuple = ("to_q", "to_out")
+    # IP-Adapter decoupled image cross-attention: when > 0, the last
+    # `ip_num_image_tokens` tokens of encoder_hidden_states are image
+    # tokens attended through separate to_k_ip/to_v_ip projections and
+    # mixed with a runtime scale (reference IPAttnProcessor,
+    # attention_processor.py:75-170, installed by IPAdapterSD.set_ip_adapter,
+    # adapter_modules.py:37-62)
+    ip_num_image_tokens: int = 0
+    ip_scale: float = 1.0
 
     @property
     def time_embed_dim(self) -> int:
@@ -71,6 +79,21 @@ class UNetConfig:
         kw.setdefault("cross_attention_dim", 1024)
         kw.setdefault("projection_class_embeddings_input_dim", 0)
         kw.setdefault("sample_size", 96)
+        return cls(**kw)
+
+    @classmethod
+    def sd15(cls, **kw) -> "UNetConfig":
+        """SD-1.5 shape (reference IPAdapterSD drives a diffusers SD1.5
+        UNet, adapter_modules.py:29-137)."""
+        kw.setdefault("block_out_channels", (320, 640, 1280, 1280))
+        kw.setdefault("down_block_types",
+                      ("CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                       "CrossAttnDownBlock2D", "DownBlock2D"))
+        kw.setdefault("transformer_layers_per_block", (1, 1, 1, 1))
+        kw.setdefault("num_attention_heads", (8, 8, 8, 8))
+        kw.setdefault("cross_attention_dim", 768)
+        kw.setdefault("projection_class_embeddings_input_dim", 0)
+        kw.setdefault("sample_size", 64)
         return cls(**kw)
 
     @classmethod
@@ -158,12 +181,16 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     lora_rank: int = 0
     lora_targets: tuple = ("to_q", "to_out")
+    # IP-Adapter decoupled path: last ip_tokens of `context` are image
+    # tokens, attended via to_k_ip/to_v_ip and added with `ip_scale`
+    ip_tokens: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
-        context = x if context is None else context
+    def __call__(self, x, context=None, ip_scale=None):
+        is_self = context is None
+        context = x if is_self else context
         inner = self.heads * self.dim_head
 
         def dense(f, name, bias=False):
@@ -175,17 +202,33 @@ class CrossAttention(nn.Module):
                                  param_dtype=self.param_dtype, name=name)
             return nn.Dense(f, use_bias=bias, dtype=self.dtype,
                             param_dtype=self.param_dtype, name=name)
+
+        def attend(q, k, v):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
+                * (self.dim_head ** -0.5)
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
+                               ).astype(q.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
         B, L, _ = x.shape
+        use_ip = self.ip_tokens > 0 and not is_self
+        text_ctx = context[:, :-self.ip_tokens] if use_ip else context
         q = dense(inner, "to_q")(x).reshape(B, L, self.heads, self.dim_head)
-        k = dense(inner, "to_k")(context).reshape(
+        k = dense(inner, "to_k")(text_ctx).reshape(
             B, -1, self.heads, self.dim_head)
-        v = dense(inner, "to_v")(context).reshape(
+        v = dense(inner, "to_v")(text_ctx).reshape(
             B, -1, self.heads, self.dim_head)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
-            * (self.dim_head ** -0.5)
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
-                           ).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, L, inner)
+        out = attend(q, k, v)
+        if use_ip:
+            ip_ctx = context[:, -self.ip_tokens:]
+            k_ip = dense(inner, "to_k_ip")(ip_ctx).reshape(
+                B, -1, self.heads, self.dim_head)
+            v_ip = dense(inner, "to_v_ip")(ip_ctx).reshape(
+                B, -1, self.heads, self.dim_head)
+            scale = jnp.asarray(1.0 if ip_scale is None else ip_scale,
+                                out.dtype)
+            out = out + scale * attend(q, k_ip, v_ip)
+        out = out.reshape(B, L, inner)
         return dense(self.query_dim, "to_out", bias=True)(out)
 
 
@@ -213,11 +256,12 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     lora_rank: int = 0
     lora_targets: tuple = ("to_q", "to_out")
+    ip_tokens: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ip_scale=None):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name=name)
@@ -231,9 +275,11 @@ class BasicTransformerBlock(nn.Module):
                                self.context_dim,
                                lora_rank=self.lora_rank,
                                lora_targets=self.lora_targets,
+                               ip_tokens=self.ip_tokens,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
-                               name="attn2")(ln("norm2")(x), context)
+                               name="attn2")(ln("norm2")(x), context,
+                                             ip_scale)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="ff")(ln("norm3")(x))
@@ -248,11 +294,12 @@ class Transformer2D(nn.Module):
     groups: int = 32
     lora_rank: int = 0
     lora_targets: tuple = ("to_q", "to_out")
+    ip_tokens: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ip_scale=None):
         B, H, W, C = x.shape
         residual = x
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
@@ -267,8 +314,10 @@ class Transformer2D(nn.Module):
             x = BasicTransformerBlock(C, self.heads, dim_head,
                                       self.context_dim,
                                       self.lora_rank, self.lora_targets,
+                                      self.ip_tokens,
                                       self.dtype, self.param_dtype,
-                                      name=f"blocks_{i}")(x, context)
+                                      name=f"blocks_{i}")(x, context,
+                                                          ip_scale)
         x = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj_out")(x)
         return x.reshape(B, H, W, C) + residual
@@ -307,11 +356,15 @@ class UNet2DConditionModel(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
-                 added_cond: Optional[dict] = None):
+                 added_cond: Optional[dict] = None, ip_scale=None):
         """sample [B,H,W,Cin] NHWC; timesteps [B] or scalar;
         encoder_hidden_states [B, L, context_dim]; added_cond:
-        {'text_embeds': [B, 1280], 'time_ids': [B, 6]} (SDXL)."""
+        {'text_embeds': [B, 1280], 'time_ids': [B, 6]} (SDXL);
+        ip_scale: runtime IP-Adapter mixing scale (traced scalar) when
+        config.ip_num_image_tokens > 0."""
         cfg = self.config
+        if cfg.ip_num_image_tokens > 0 and ip_scale is None:
+            ip_scale = jnp.float32(cfg.ip_scale)
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -363,9 +416,10 @@ class UNet2DConditionModel(nn.Module):
                                cfg.transformer_layers_per_block[bi],
                                cfg.cross_attention_dim,
                                cfg.norm_num_groups, cfg.lora_rank,
-                               cfg.lora_targets, self.dtype,
-                               self.param_dtype,
-                               name=f"down_{bi}_attn_{li}")(h, context)
+                               cfg.lora_targets, cfg.ip_num_image_tokens,
+                               self.dtype, self.param_dtype,
+                               name=f"down_{bi}_attn_{li}")(h, context,
+                                                            ip_scale)
                 skips.append(h)
             if bi < n_blocks - 1:
                 h = Downsample(ch, self.dtype, self.param_dtype,
@@ -380,7 +434,9 @@ class UNet2DConditionModel(nn.Module):
                    cfg.transformer_layers_per_block[-1],
                    cfg.cross_attention_dim, cfg.norm_num_groups,
                    cfg.lora_rank, cfg.lora_targets,
-                   self.dtype, self.param_dtype, name="mid_attn")(h, context)
+                   cfg.ip_num_image_tokens,
+                   self.dtype, self.param_dtype, name="mid_attn")(h, context,
+                                                                  ip_scale)
         h = res_cls(mid_ch, cfg.norm_num_groups, self.dtype,
                     self.param_dtype, name="mid_res_1")(h, temb)
 
@@ -400,8 +456,9 @@ class UNet2DConditionModel(nn.Module):
                         cfg.transformer_layers_per_block[n_blocks - 1 - bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
                         cfg.lora_rank, cfg.lora_targets,
+                        cfg.ip_num_image_tokens,
                         self.dtype, self.param_dtype,
-                        name=f"up_{bi}_attn_{li}")(h, context)
+                        name=f"up_{bi}_attn_{li}")(h, context, ip_scale)
             if bi < n_blocks - 1:
                 h = Upsample(ch, self.dtype, self.param_dtype,
                              name=f"up_{bi}_upsample")(h)

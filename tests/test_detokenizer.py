@@ -177,3 +177,126 @@ def test_adapter_training_loss():
     g = jax.grad(lambda p: adapter.loss_fn(p, batch)[0])(params)
     r_leaves = jax.tree_util.tree_leaves(g["resampler"])
     assert any(float(jnp.abs(x).sum()) > 0 for x in r_leaves)
+
+
+# -- IP-Adapter (SD-1.5 decoupled image cross-attention) ---------------------
+
+
+def _tiny_ip_unet(ip_tokens=4):
+    cfg = UNetConfig.tiny(ip_num_image_tokens=ip_tokens,
+                          projection_class_embeddings_input_dim=0)
+    unet = UNet2DConditionModel(cfg)
+    B, S = 2, cfg.sample_size
+    sample = jnp.ones((B, S, S, 4))
+    t = jnp.asarray([10.0, 500.0])
+    ctx = jnp.concatenate(
+        [jnp.ones((B, 6, cfg.cross_attention_dim)),           # text
+         jax.random.normal(jax.random.PRNGKey(1),
+                           (B, ip_tokens, cfg.cross_attention_dim))],
+        axis=1)
+    params = unet.init(jax.random.PRNGKey(0), sample, t, ctx)
+    return unet, params, cfg, (sample, t, ctx)
+
+
+def test_ip_scale_zero_ignores_image_tokens():
+    """With ip_scale=0 the decoupled image path is scaled out: outputs
+    must be invariant to the image tokens (reference IPAttnProcessor
+    scale semantics, attention_processor.py:75-170)."""
+    unet, params, cfg, (sample, t, ctx) = _tiny_ip_unet()
+    ip = cfg.ip_num_image_tokens
+    ctx2 = ctx.at[:, -ip:].set(
+        jax.random.normal(jax.random.PRNGKey(7), ctx[:, -ip:].shape))
+    out_a = unet.apply(params, sample, t, ctx, ip_scale=jnp.float32(0.0))
+    out_b = unet.apply(params, sample, t, ctx2, ip_scale=jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-6)
+    # at scale 1 the image tokens matter
+    out_c = unet.apply(params, sample, t, ctx, ip_scale=jnp.float32(1.0))
+    out_d = unet.apply(params, sample, t, ctx2, ip_scale=jnp.float32(1.0))
+    assert np.abs(np.asarray(out_c) - np.asarray(out_d)).max() > 1e-6
+
+
+def test_ip_adapter_sd_loss_and_seeding():
+    from mllm_npu_tpu.models.generation.adapter_modules import (
+        IPAdapterSD, init_ip_adapter_params)
+    import flax
+
+    unet, uparams, cfg, (sample, t, _) = _tiny_ip_unet(ip_tokens=8)
+    resampler = Resampler(dim=32, depth=1, dim_head=8, heads=4,
+                          num_queries=8, embedding_dim=16,
+                          output_dim=cfg.cross_attention_dim, ff_mult=2)
+    rparams = resampler.init(jax.random.PRNGKey(2), jnp.ones((2, 4, 16)))
+    adapter = IPAdapterSD.from_pretrained(
+        unet, uparams, resampler, rparams)
+
+    # seeding: every to_k_ip kernel equals its to_k sibling
+    flat = flax.traverse_util.flatten_dict(adapter.unet_params)
+    seeded = 0
+    for path, leaf in flat.items():
+        if "to_k_ip" in path and "attn2" in path:
+            src = tuple(p if p != "to_k_ip" else "to_k" for p in path)
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat[src]))
+            seeded += 1
+    assert seeded > 0
+
+    B, S = 2, cfg.sample_size
+    batch = {
+        "noisy_latents": jnp.ones((B, S, S, 4)),
+        "timesteps": jnp.asarray([5.0, 10.0]),
+        "image_embeds": jax.random.normal(jax.random.PRNGKey(0),
+                                          (B, 4, 16)),
+        "text_embeds": jnp.zeros((B, 7, cfg.cross_attention_dim)),
+        "noise": jnp.zeros((B, S, S, 4)),
+    }
+    params = {"unet": adapter.unet_params,
+              "resampler": adapter.resampler_params}
+    loss, aux = adapter.loss_fn(params, batch)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: adapter.loss_fn(p, batch)[0])(params)
+    # resampler and ip projections receive gradient
+    r_leaves = jax.tree_util.tree_leaves(g["resampler"])
+    assert any(float(jnp.abs(x).sum()) > 0 for x in r_leaves)
+    gflat = flax.traverse_util.flatten_dict(g["unet"])
+    ip_grads = [v for p, v in gflat.items() if "to_k_ip" in p]
+    assert any(float(jnp.abs(x).sum()) > 0 for x in ip_grads)
+
+
+def test_ip_adapter_pipe_generate():
+    import flax.linen as fnn
+    from mllm_npu_tpu.models.generation.adapter_modules import (
+        IPAdapterSD, IPAdapterSDPipe)
+
+    class StubEncoder(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            B = x.shape[0]
+            h = x.reshape(B, -1)
+            h = fnn.Dense(4 * 16, name="proj")(h)
+            return h.reshape(B, 4, 16)
+
+    unet, uparams, cfg, _ = _tiny_ip_unet(ip_tokens=8)
+    resampler = Resampler(dim=32, depth=1, dim_head=8, heads=4,
+                          num_queries=8, embedding_dim=16,
+                          output_dim=cfg.cross_attention_dim, ff_mult=2)
+    rparams = resampler.init(jax.random.PRNGKey(2), jnp.ones((2, 4, 16)))
+    adapter = IPAdapterSD.from_pretrained(unet, uparams, resampler, rparams)
+
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    size = cfg.sample_size * vcfg.spatial_scale_factor
+    vparams = vae.init(jax.random.PRNGKey(3),
+                       jnp.ones((1, size, size, 3)))
+
+    enc = StubEncoder()
+    eparams = enc.init(jax.random.PRNGKey(4), jnp.ones((1, 8, 8, 3)))
+
+    pipe = IPAdapterSDPipe(ip_adapter=adapter, vae_module=vae,
+                           vae_params=vparams, visual_encoder=(enc, eparams),
+                           text_context_len=7)
+    imgs = pipe.generate(image_tensor=jnp.ones((1, 8, 8, 3)),
+                         num_inference_steps=2, height=size, width=size,
+                         scale=0.5)
+    assert len(imgs) == 1
+    assert isinstance(imgs[0], Image.Image)
+    assert imgs[0].size == (size, size)
