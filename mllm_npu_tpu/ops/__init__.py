@@ -63,13 +63,19 @@ def flash_attention_padded(q, k, v, *, causal=False, segment_ids=None,
     if segment_ids is not None:
         qseg = jnp.pad(segment_ids.q + 1, ((0, 0), (0, Sq_p - Sq)))
         kseg = jnp.pad(segment_ids.kv + 1, ((0, 0), (0, Sk_p - Sk)))
-    else:
+        seg = SegmentIds(q=qseg, kv=kseg)
+    elif Sq_p != Sq or Sk_p != Sk:
         qseg = jnp.pad(jnp.ones((B, Sq), jnp.int32),
                        ((0, 0), (0, Sq_p - Sq)))
         kseg = jnp.pad(jnp.ones((B, Sk), jnp.int32),
                        ((0, 0), (0, Sk_p - Sk)))
-    out = flash_attention(qp, kp, vp, causal=causal,
-                          segment_ids=SegmentIds(q=qseg, kv=kseg),
+        seg = SegmentIds(q=qseg, kv=kseg)
+    else:
+        # only the head dim was padded: zero-padded D lanes change
+        # nothing, so skip the segment machinery (keeps the fast
+        # unmasked kernel path)
+        seg = None
+    out = flash_attention(qp, kp, vp, causal=causal, segment_ids=seg,
                           scale=scale, interpret=interpret)
     return out[:, :Sq, :, :D]
 
