@@ -29,6 +29,8 @@ def main():
     p.add_argument("--patches", type=int, default=5)
     p.add_argument("--decode_tokens", type=int, default=32)
     p.add_argument("--fp32_weights", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only LLM (ops/quant.py)")
     args = p.parse_args()
 
     import jax
@@ -88,6 +90,15 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params)
+    if args.int8:
+        import dataclasses
+        from mllm_npu_tpu.utils.weights import quantize_llama_params
+        lm_cfg = dataclasses.replace(lm_cfg, quantization="int8")
+        lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
+        model = model.clone(language_model=lm)
+        pp = dict(params["params"])
+        pp["language_model"] = quantize_llama_params(pp["language_model"])
+        params = {"params": pp}
 
     max_len = S + args.decode_tokens
 
@@ -144,7 +155,7 @@ def main():
 
     per_tok = min(decode_times) / args.decode_tokens
     print(json.dumps({
-        "preset": args.preset,
+        "preset": args.preset, "int8": args.int8,
         "prompt_tokens": S, "image_patches": N,
         "first_token_p50_ms": round(
             statistics.median(prefill_times) * 1e3, 2),

@@ -43,9 +43,8 @@ class MLLMGenerator:
                  ladder: Optional[ImageTokenLadder] = None,
                  prompt_bucket: int = 128,
                  cache_dtype=jnp.bfloat16,
-                 cast_params_bf16: bool = False):
-        self.model = model
-        self.lm_config = lm_config
+                 cast_params_bf16: bool = False,
+                 quantize_int8: bool = False):
         if cast_params_bf16:
             # inference is weight-bandwidth-bound (every decode step
             # streams all weights from HBM); bf16 storage halves it
@@ -53,6 +52,27 @@ class MLLMGenerator:
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 params)
+        if quantize_int8:
+            # int8 weight-only LLM: halve the weight traffic again
+            # (ops/quant.py). Not combinable with a LoRA'd LLM (merge
+            # the adapters first).
+            import dataclasses
+
+            from mllm_npu_tpu.utils.weights import quantize_llama_params
+            assert lm_config.lora_rank == 0, \
+                "merge LoRA adapters before int8 quantization"
+            lm_config = dataclasses.replace(lm_config, quantization="int8")
+            lm = model.language_model
+            model = model.clone(
+                language_model=type(lm)(lm_config, lm.dtype,
+                                        lm.param_dtype))
+            p = dict(params["params"])
+            p["language_model"] = quantize_llama_params(
+                p["language_model"])
+            params = dict(params)
+            params["params"] = p
+        self.model = model
+        self.lm_config = lm_config
         self.params = params
         self.sampling = sampling
         self.ladder = ladder

@@ -61,6 +61,9 @@ class LlamaConfig:
     lora_dropout: float = 0.0
     lora_targets: tuple = ("q_proj", "k_proj", "v_proj", "o_proj",
                            "gate_proj", "up_proj", "down_proj")
+    # int8 weight-only serving path (ops/quant.py): "none" | "int8".
+    # Convert trained params with utils.weights.quantize_llama_params.
+    quantization: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -121,12 +124,15 @@ class LoRADense(nn.Module):
 
 
 def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
-    """Returns dense(features, name) honoring the LoRA config."""
+    """Returns dense(features, name) honoring the LoRA/quant config."""
     def dense(features, name):
         if cfg.lora_rank > 0 and name in cfg.lora_targets:
             return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
                              dropout_rate=cfg.lora_dropout,
                              dtype=dtype, param_dtype=param_dtype, name=name)
+        if cfg.quantization == "int8":
+            from mllm_npu_tpu.ops.quant import Int8Dense
+            return Int8Dense(features, dtype=dtype, name=name)
         return nn.Dense(features, use_bias=False, dtype=dtype,
                         param_dtype=param_dtype, name=name)
     return dense
@@ -400,9 +406,14 @@ class LlamaForCausalLM(nn.Module):
         self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
                                 name="model")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=self.dtype,
-                param_dtype=self.param_dtype, name="lm_head")
+            if cfg.quantization == "int8":
+                from mllm_npu_tpu.ops.quant import Int8Dense
+                self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
+                                         name="lm_head")
+            else:
+                self.lm_head = nn.Dense(
+                    cfg.vocab_size, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="lm_head")
 
     def embed(self, input_ids):
         return self.model.embed_tokens(input_ids)

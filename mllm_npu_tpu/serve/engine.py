@@ -50,7 +50,8 @@ class InferenceEngine:
                  max_new_tokens: int = 512,
                  prompt_bucket: int = 128,
                  cache_dtype=jnp.bfloat16,
-                 cast_params_bf16: bool = True):
+                 cast_params_bf16: bool = True,
+                 quantize_int8: bool = False):
         self.tokenizer = tokenizer
         self.image_transform = image_transform
         self.adapter = adapter
@@ -75,7 +76,8 @@ class InferenceEngine:
                                     pad_token_id=getattr(
                                         tokenizer, "pad_token_id", 0) or 0),
             ladder=ladder, cache_dtype=cache_dtype,
-            cast_params_bf16=cast_params_bf16)
+            cast_params_bf16=cast_params_bf16,
+            quantize_int8=quantize_int8)
 
     # -- helpers -----------------------------------------------------------
 

@@ -651,3 +651,12 @@ def split_adapter_state(sd: Dict[str, Any]) -> tuple:
     unet = {k[len("unet."):]: v for k, v in sd.items()
             if k.startswith("unet.")}
     return res, unet
+
+
+def quantize_llama_params(lm_params: dict) -> dict:
+    """Convert a trained float Llama param tree to the int8 weight-only
+    serving layout (build the model with LlamaConfig(quantization='int8');
+    ops/quant.py). Embeddings and norms stay float."""
+    from mllm_npu_tpu.ops.quant import quantize_dense_params
+
+    return quantize_dense_params(lm_params, skip=("embed",))

@@ -1,0 +1,153 @@
+"""Int8 weight-only quantization tests (ops/quant.py): quantize
+roundtrip, the dequant-matmul (CPU fallback + interpret-mode Pallas),
+and end-to-end logits parity of a quantized tiny Llama."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mllm_npu_tpu.ops.quant import (Int8Dense, QuantizedTensor,
+                                    dequantize_int8, int8_matmul,
+                                    quantize_dense_params, quantize_int8)
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.1
+    qt = quantize_int8(w)
+    assert qt.values.dtype == jnp.int8
+    assert qt.scale.shape == (32,)
+    wd = dequantize_int8(qt, jnp.float32)
+    # symmetric per-channel: error bounded by scale/2 per element
+    err = np.abs(np.asarray(wd - w))
+    bound = np.asarray(qt.scale)[None, :] * 0.5 + 1e-7
+    assert (err <= bound).all()
+    # zero column stays exactly zero with scale 1
+    w0 = w.at[:, 3].set(0.0)
+    qt0 = quantize_int8(w0)
+    assert float(qt0.scale[3]) == 1.0
+    assert (np.asarray(qt0.values)[:, 3] == 0).all()
+
+
+def test_int8_matmul_matches_dequant():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (4, 256), jnp.bfloat16)
+    w = jax.random.normal(kw, (256, 128)) * 0.05
+    qt = quantize_int8(w)
+    ref = x.astype(jnp.float32) @ np.asarray(dequantize_int8(qt, jnp.float32))
+    # pallas path in interpret mode (shapes aligned to blocks)
+    out_p = int8_matmul(x, qt, block_m=8, block_n=128, block_k=256,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-1)
+    # awkward-shape jnp fallback
+    w2 = jax.random.normal(kw, (256, 100)) * 0.05
+    out_f = int8_matmul(x, quantize_int8(w2))
+    assert out_f.shape == (4, 100)
+
+
+def test_int8_dense_module():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64), jnp.bfloat16)
+    m = Int8Dense(32)
+    p = m.init(jax.random.PRNGKey(1), x)
+    assert p["params"]["kernel_q"].dtype == jnp.int8
+    # zero-init kernel → zero output
+    out = m.apply(p, x)
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_quantized_llama_logits_parity():
+    from mllm_npu_tpu.models.language_models.llama import (LlamaConfig,
+                                                           LlamaForCausalLM)
+    from mllm_npu_tpu.utils.weights import quantize_llama_params
+
+    cfg = LlamaConfig.tiny()
+    lm = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(0).randint(3, 1000, (2, 16)),
+                      jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), ids)
+    logits, _, _ = lm.apply(params, ids)
+
+    qcfg = LlamaConfig.tiny(quantization="int8")
+    qlm = LlamaForCausalLM(qcfg, dtype=jnp.float32)
+    qparams = {"params": quantize_llama_params(params["params"])}
+    # structural match with the quantized module's init
+    ref_struct = jax.tree_util.tree_structure(
+        qlm.init(jax.random.PRNGKey(0), ids))
+    assert jax.tree_util.tree_structure(qparams) == ref_struct
+    qlogits, _, _ = qlm.apply(qparams, ids)
+
+    a = np.asarray(logits, np.float32).reshape(-1)
+    b = np.asarray(qlogits, np.float32).reshape(-1)
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
+    # top-1 token agreement on most positions
+    at = np.asarray(logits).argmax(-1)
+    bt = np.asarray(qlogits).argmax(-1)
+    assert (at == bt).mean() > 0.9
+
+
+def test_scan_stacked_kernels_quantize():
+    stacked = {"layers": {"q_proj": {
+        "kernel": jax.random.normal(jax.random.PRNGKey(0), (3, 16, 8))}}}
+    out = quantize_dense_params(stacked)
+    q = out["layers"]["q_proj"]
+    assert q["kernel_q"].shape == (3, 16, 8)
+    assert q["kernel_q"].dtype == jnp.int8
+    assert q["scale"].shape == (3, 8)
+
+
+def test_generator_quantize_int8_generates():
+    """End-to-end: MLLMGenerator(quantize_int8=True) rebuilds the LLM in
+    int8 layout and still decodes."""
+    import numpy as np
+    from mllm_npu_tpu.models.language_models.llama import (LlamaConfig,
+                                                           LlamaForCausalLM)
+    from mllm_npu_tpu.models.generation.generate import MLLMGenerator
+    from mllm_npu_tpu.models.generation.sampler import SamplingConfig
+    from mllm_npu_tpu.models.mllm import GeneralizedMultimodalModel
+    from mllm_npu_tpu.models.multimodal_encoder.siglip_vit import (
+        SigLIPConfig, SigLIPVisionEncoder)
+    from mllm_npu_tpu.models.multimodal_projector.pooling_projection import (
+        SimplePooling)
+
+    cfg = LlamaConfig.tiny()
+    lm = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    vcfg = SigLIPConfig.tiny()
+    vis = SigLIPVisionEncoder(vcfg, dtype=jnp.float32)
+    proj = SimplePooling(grid_size=2, input_dim=vcfg.hidden_size,
+                         output_dim=cfg.hidden_size)
+    model = GeneralizedMultimodalModel(language_model=lm,
+                                       vision_encoder=vis, projector=proj)
+    rs = np.random.RandomState(0)
+    B, S, N = 1, 8, 1
+    img_size = SigLIPConfig.tiny().image_size
+    batch = dict(
+        input_ids=jnp.asarray(rs.randint(3, 1000, (B, S)), jnp.int32),
+        images=jnp.asarray(rs.randn(N, img_size, img_size, 3), jnp.float32),
+        attention_mask=jnp.ones((B, S), jnp.int32),
+        labels=jnp.asarray(rs.randint(3, 1000, (B, S)), jnp.int32),
+        embeds_cmp_mask=jnp.asarray([True]),
+        embeds_gen_mask=jnp.asarray([False]),
+        ids_cmp_mask=jnp.zeros((B, S), bool).at[0, 2:6].set(True),
+        ids_gen_mask=jnp.zeros((B, S), bool),
+        patch_positions=jnp.asarray(rs.rand(N, 2), jnp.float32),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    gen = MLLMGenerator(model, cfg, params,
+                        sampling=SamplingConfig(max_new_tokens=4,
+                                                do_sample=False,
+                                                eos_token_id=-1,
+                                                pad_token_id=0),
+                        quantize_int8=True)
+    # lm params are int8 now
+    lm_leaves = jax.tree_util.tree_leaves(
+        gen.params["params"]["language_model"])
+    assert any(l.dtype == jnp.int8 for l in lm_leaves)
+    out = gen.generate(batch["input_ids"], images=batch["images"],
+                       embeds_cmp_mask=batch["embeds_cmp_mask"],
+                       ids_cmp_mask=batch["ids_cmp_mask"],
+                       patch_positions=batch["patch_positions"])
+    ids = np.asarray(out["generate_ids"])
+    assert ids.shape[1] == 4
+    assert np.isfinite(ids).all()
