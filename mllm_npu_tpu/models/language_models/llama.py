@@ -47,6 +47,9 @@ class LlamaConfig:
     rope_scaling_factor: float = 1.0
     tie_word_embeddings: bool = False
     attention_impl: str = "auto"              # auto | flash | eager
+    # run pallas kernels in interpreter mode (CPU tests of the flash
+    # path, incl. its shard_map dispatch on virtual meshes)
+    attention_interpret: bool = False
     remat: bool = False
     # remat policy: 'nothing' = full recompute (min memory);
     # 'dots' = keep matmul outputs (faster bwd, more memory)
@@ -237,7 +240,8 @@ class LlamaAttention(nn.Module):
                 # the cache write is a pure side effect
                 out = ops.multi_head_attention(
                     q, k, v, causal=True, segment_ids=segment_ids,
-                    attn_mask=attn_mask, impl=cfg.attention_impl)
+                    attn_mask=attn_mask, impl=cfg.attention_impl,
+                    interpret=cfg.attention_interpret)
             else:
                 k, v = ck.astype(k.dtype), cv.astype(v.dtype)
                 # decode: mask keys beyond the filled region
@@ -253,7 +257,8 @@ class LlamaAttention(nn.Module):
         else:
             out = ops.multi_head_attention(
                 q, k, v, causal=True, segment_ids=segment_ids,
-                attn_mask=attn_mask, impl=cfg.attention_impl)
+                attn_mask=attn_mask, impl=cfg.attention_impl,
+                interpret=cfg.attention_interpret)
 
         out = out.reshape(B, S, H * D)
         out = dense(cfg.hidden_size, "o_proj")(out)

@@ -9,10 +9,13 @@ instead of by hand-edited recipes).
 
 from __future__ import annotations
 
+import contextlib
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from mllm_npu_tpu.ops.attention import dot_product_attention
 from mllm_npu_tpu.ops.flash_attention import SegmentIds, flash_attention
@@ -21,6 +24,7 @@ from mllm_npu_tpu.ops.rope import apply_rope, rope_cos_sin
 
 __all__ = [
     "SegmentIds",
+    "flash_mesh",
     "apply_rope",
     "dot_product_attention",
     "flash_attention",
@@ -119,19 +123,89 @@ def multi_head_attention(
             pad_waste = (_pad_to(Sq, 128) * _pad_to(Sk, 128)
                          * max(_pad_to(D, 128), 128)) / (Sq * Sk * D)
             use_padded = pad_waste <= 2.05
-    if use_flash:
-        return flash_attention(
-            q, k, v, causal=causal, segment_ids=segment_ids, scale=scale,
-            interpret=interpret,
-        )
-    if use_padded:
-        return flash_attention_padded(
-            q, k, v, causal=causal, segment_ids=segment_ids, scale=scale,
-            interpret=interpret,
-        )
+    if use_flash and (Sq % 128 or Sk % 128 or D % 128):
+        # impl="flash" on an awkward shape: ride the padded wrapper
+        use_flash, use_padded = False, True
+    if use_flash or use_padded:
+        fn = flash_attention if use_flash else flash_attention_padded
+        call = functools.partial(fn, causal=causal, scale=scale,
+                                 interpret=interpret)
+        sharded = _shard_mapped_flash(call, q, k, v, segment_ids)
+        if sharded is not None:
+            return sharded
+        return call(q, k, v, segment_ids=segment_ids)
     return dot_product_attention(
         q, k, v, causal=causal, attn_mask=attn_mask,
         q_segment_ids=None if segment_ids is None else segment_ids.q,
         kv_segment_ids=None if segment_ids is None else segment_ids.kv,
         q_offset=q_offset, scale=scale,
     )
+
+
+# -- mesh-aware dispatch ------------------------------------------------------
+#
+# pallas_call is opaque to GSPMD: inside a pjit'd step on a real multi-chip
+# mesh the compiler would replicate its operands (an all-gather of Q/K/V per
+# layer!). jax requires pallas kernels to run under Manual axes, i.e. inside
+# shard_map. `flash_mesh(mesh)` makes multi_head_attention wrap the kernel in
+# shard_map with batch/head sharding; compile_train_step enters it during
+# tracing. Single-device meshes and non-divisible shapes fall through to the
+# plain call.
+
+_FLASH_MESH_STACK: list = []
+
+
+@contextlib.contextmanager
+def flash_mesh(mesh, batch_axes=("data", "fsdp"), head_axis="tensor"):
+    """Route flash-attention calls through shard_map over `mesh` while
+    tracing (batch on `batch_axes`, heads on `head_axis`)."""
+    _FLASH_MESH_STACK.append((mesh, tuple(batch_axes), head_axis))
+    try:
+        yield
+    finally:
+        _FLASH_MESH_STACK.pop()
+
+
+def _shard_mapped_flash(call, q, k, v, segment_ids):
+    if not _FLASH_MESH_STACK:
+        return None
+    mesh, batch_axes, head_axis = _FLASH_MESH_STACK[-1]
+    if mesh is None:
+        return None
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    b_axes = tuple(a for a in batch_axes if sizes.get(a, 1) > 1)
+    bsz = 1
+    for a in b_axes:
+        bsz *= sizes[a]
+    hsz = sizes.get(head_axis, 1)
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    use_b = bsz > 1 and B % bsz == 0
+    use_h = hsz > 1 and Hq % hsz == 0 and Hkv % hsz == 0
+    if not (use_b or use_h):
+        if bsz == 1 and hsz == 1:
+            return None     # single-device mesh: plain call is fine
+        # multi-device mesh but unshardable shapes: still must run under
+        # Manual axes — replicate (correct, not fast; callers should
+        # keep B divisible)
+        b_axes = ()
+        use_h = False
+    bspec = b_axes if (use_b and b_axes) else None
+    hspec = head_axis if use_h else None
+    qkv_spec = P(bspec, None, hspec, None)
+    seg_spec = SegmentIds(q=P(bspec, None), kv=P(bspec, None)) \
+        if segment_ids is not None else None
+
+    if segment_ids is None:
+        def local(q, k, v):
+            return call(q, k, v, segment_ids=None)
+        in_specs = (qkv_spec, qkv_spec, qkv_spec)
+        args = (q, k, v)
+    else:
+        def local(q, k, v, seg):
+            return call(q, k, v, segment_ids=seg)
+        in_specs = (qkv_spec, qkv_spec, qkv_spec, seg_spec)
+        args = (q, k, v, segment_ids)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=qkv_spec, check_vma=False)
+    return fn(*args)

@@ -178,8 +178,19 @@ def compile_train_step(step_fn, state: TrainState, batch_example: Any,
         tx=state.tx,
     )
     batch_shardings = batch_sharding(mesh, batch_example)
+
+    def step_in_mesh(state, batch):
+        # flash pallas kernels must run under Manual axes on multi-chip
+        # meshes (GSPMD would otherwise replicate their operands); the
+        # flash_mesh context makes ops.multi_head_attention shard_map
+        # them over this mesh (active during tracing → baked into the
+        # jaxpr)
+        from mllm_npu_tpu import ops
+        with ops.flash_mesh(mesh):
+            return step_fn(state, batch)
+
     jitted = jax.jit(
-        step_fn,
+        step_in_mesh,
         in_shardings=(state_sharding, batch_shardings),
         out_shardings=(state_sharding, NamedSharding(mesh, P()), None),
         donate_argnums=(0,),
