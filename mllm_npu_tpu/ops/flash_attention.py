@@ -434,45 +434,52 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        # narrow [bq, 8] lse/delta, widened here (once per executed step
-        # — the block index changes with t, so there is nothing to reuse)
-        lse = _widen8(lse_ref[0, 0])
-        di = _widen8(di_ref[0, 0])
 
-        # q-major throughout; dK/dV use transposed-LHS matmuls so no
-        # sublane->lane relayouts are needed.
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        rep = block_k // NUM_LANES
-        p = jnp.exp2(s - jnp.tile(lse, (1, rep)))    # [bq, bk]
+        # kv-major layout: everything is computed transposed ([bk, bq])
+        # so ALL four big matmuls contract in native MXU orientation —
+        # the q-major form needed transposed-LHS contractions for dk/dv
+        # (dim-0/dim-0), which cost a Mosaic relayout of p/ds per step.
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # widen the narrow [bq, 8] lse/delta DIRECTLY into [bk, bq] rows
+        # via one narrow-K matmul each (ones[bk,8]·(1/8) @ lse8^T): each
+        # output row is the lse vector — no lane/sublane relayout.
+        ones8 = jnp.full((block_k, 8), 0.125, jnp.float32)
+        lse_t = jax.lax.dot_general(ones8, lse_ref[0, 0],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        di_t = jax.lax.dot_general(ones8, di_ref[0, 0],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        pt = jnp.exp2(st - lse_t)                    # [bk, bq]
         if masked:
             mask = None
             if packed:
-                qseg = jnp.tile(qseg_ref[0], (1, rep))      # [bq, bk]
-                kseg = kseg_ref[0, :1, :]                   # [1, bk]
-                mask = qseg == kseg
+                rep = block_q // NUM_LANES
+                kseg = jnp.tile(kseg_ref[0], (1, rep))      # [bk, bq]
+                qseg = qseg_ref[0, :1, :]                   # [1, bq]
+                mask = kseg == qseg
             if causal:
                 rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0)
+                    jnp.int32, (block_k, block_q), 0)       # k index
                 cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1)
-                cmask = (rows + qi * block_q) >= (cols + ki * block_k)
+                    jnp.int32, (block_k, block_q), 1)       # q index
+                cmask = (cols + qi * block_q) >= (rows + ki * block_k)
                 mask = cmask if mask is None \
                     else jnp.logical_and(mask, cmask)
-            p *= mask.astype(p.dtype)
-        # dv += p^T @ do  (contract over bq)
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+            pt *= mask.astype(pt.dtype)
+        # dv += p^T @ do  — native: [bk, bq] @ [bq, D]
+        dv_scr[...] += jax.lax.dot(pt.astype(do.dtype), do,
+                                   preferred_element_type=jnp.float32)
+        # dp^T = v @ do^T — native RHS-transposed: [bk, D] · [bq, D]^T
+        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
         # dk needs plain q but the ref holds q·c (c = scale·log2(e)):
         # fold the 1/c into ds — ds_dk = p·(dp-di)·scale/c = ·ln2 — so
         # dk = ds_dk^T @ (q·c) lands true-scaled with no epilogue pass.
-        ds = p * (dp - jnp.tile(di, (1, rep))) * LN2  # [bq, bk]
-        dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dst = pt * (dpt - di_t) * LN2                # [bk, bq]
+        dk_scr[...] += jax.lax.dot(dst.astype(q.dtype), q,
+                                   preferred_element_type=jnp.float32)
 
     if packed or causal:
         @pl.when(jnp.logical_and(should_run, needs_mask_dyn))
@@ -508,12 +515,17 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
 
     kv_head = lambda h: h * Hkv // Hq
 
-    qseg3 = kseg_sub = None
+    qseg3 = kseg_sub = qseg_sub = kseg3 = None
     if packed:
         qseg3 = jnp.broadcast_to(
             segment_ids.q[:, :, None].astype(jnp.int32), (B, Sq, NUM_LANES))
         kseg_sub = jnp.broadcast_to(
             segment_ids.kv[:, None, :].astype(jnp.int32), (B, 8, Sk))
+        # transposed orientation for the kv-major dKV kernel
+        qseg_sub = jnp.broadcast_to(
+            segment_ids.q[:, None, :].astype(jnp.int32), (B, 8, Sq))
+        kseg3 = jnp.broadcast_to(
+            segment_ids.kv[:, :, None].astype(jnp.int32), (B, Sk, NUM_LANES))
 
     nkv = Sk // block_k
     nq = Sq // block_q
@@ -609,11 +621,12 @@ def _bwd(residuals, do, *, scale, causal, block_q, block_k, interpret):
     args = [q_scaled, k, v, do, lse2, di]
     if packed:
         in_specs += [
-            pl.BlockSpec((1, block_q, NUM_LANES),
-                         lambda b, h, ki, t: (b, q_blk(ki, t), 0)),
-            pl.BlockSpec((1, 8, block_k), lambda b, h, ki, t: (b, 0, ki)),
+            pl.BlockSpec((1, 8, block_q),
+                         lambda b, h, ki, t: (b, 0, q_blk(ki, t))),
+            pl.BlockSpec((1, block_k, NUM_LANES),
+                         lambda b, h, ki, t: (b, ki, 0)),
         ]
-        args += [qseg3, kseg_sub]
+        args += [qseg_sub, kseg3]
     else:
         in_specs += [None, None]
         args += [None, None]
