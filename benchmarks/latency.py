@@ -31,6 +31,8 @@ def main():
     p.add_argument("--fp32_weights", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM (ops/quant.py)")
+    p.add_argument("--fused", action="store_true",
+                   help="fused qkv/gate_up projections")
     args = p.parse_args()
 
     import jax
@@ -90,6 +92,15 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params)
+    if args.fused:
+        import dataclasses
+        from mllm_npu_tpu.utils.weights import fuse_llama_projections
+        lm_cfg = dataclasses.replace(lm_cfg, fused_projections=True)
+        lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
+        model = model.clone(language_model=lm)
+        pp = dict(params["params"])
+        pp["language_model"] = fuse_llama_projections(pp["language_model"])
+        params = {"params": pp}
     if args.int8:
         import dataclasses
         from mllm_npu_tpu.utils.weights import quantize_llama_params

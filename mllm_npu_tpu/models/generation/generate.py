@@ -44,7 +44,26 @@ class MLLMGenerator:
                  prompt_bucket: int = 128,
                  cache_dtype=jnp.bfloat16,
                  cast_params_bf16: bool = False,
-                 quantize_int8: bool = False):
+                 quantize_int8: bool = False,
+                 fuse_projections: bool = False):
+        if fuse_projections:
+            # one qkv matvec + one gate_up matvec per block: fewer
+            # kernel launches in the decode while_loop
+            import dataclasses as _dc
+
+            from mllm_npu_tpu.utils.weights import fuse_llama_projections
+            assert lm_config.lora_rank == 0, \
+                "merge LoRA adapters before fusing projections"
+            lm_config = _dc.replace(lm_config, fused_projections=True)
+            lm = model.language_model
+            model = model.clone(
+                language_model=type(lm)(lm_config, lm.dtype,
+                                        lm.param_dtype))
+            p = dict(params["params"])
+            p["language_model"] = fuse_llama_projections(
+                p["language_model"])
+            params = dict(params)
+            params["params"] = p
         if cast_params_bf16:
             # inference is weight-bandwidth-bound (every decode step
             # streams all weights from HBM); bf16 storage halves it

@@ -67,6 +67,12 @@ class LlamaConfig:
     # int8 weight-only serving path (ops/quant.py): "none" | "int8".
     # Convert trained params with utils.weights.quantize_llama_params.
     quantization: str = "none"
+    # serving-time projection fusion: one qkv_proj matmul instead of
+    # q/k/v and one gate_up_proj instead of gate/up. Fewer, larger
+    # matvecs = fewer kernel launches + better HBM streaming in the
+    # decode loop. Convert trained params with
+    # utils.weights.fuse_llama_projections (before quantization).
+    fused_projections: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -186,8 +192,12 @@ class LlamaMLP(nn.Module):
     def __call__(self, x):
         cfg = self.config
         dense = _dense_factory(cfg, self.dtype, self.param_dtype)
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
+        if cfg.fused_projections:
+            gu = dense(2 * cfg.intermediate_size, "gate_up_proj")(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = dense(cfg.intermediate_size, "gate_proj")(x)
+            up = dense(cfg.intermediate_size, "up_proj")(x)
         return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
 
 
@@ -215,9 +225,17 @@ class LlamaAttention(nn.Module):
         H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
         dense = _dense_factory(cfg, self.dtype, self.param_dtype)
-        q = dense(H * D, "q_proj")(x).reshape(B, S, H, D)
-        k = dense(Hkv * D, "k_proj")(x).reshape(B, S, Hkv, D)
-        v = dense(Hkv * D, "v_proj")(x).reshape(B, S, Hkv, D)
+        if cfg.fused_projections:
+            qkv = dense((H + 2 * Hkv) * D, "qkv_proj")(x)
+            q, k, v = jnp.split(
+                qkv, [H * D, (H + Hkv) * D], axis=-1)
+            q = q.reshape(B, S, H, D)
+            k = k.reshape(B, S, Hkv, D)
+            v = v.reshape(B, S, Hkv, D)
+        else:
+            q = dense(H * D, "q_proj")(x).reshape(B, S, H, D)
+            k = dense(Hkv * D, "k_proj")(x).reshape(B, S, Hkv, D)
+            v = dense(Hkv * D, "v_proj")(x).reshape(B, S, Hkv, D)
 
         cos, sin = rope_cos_sin(
             positions, D, theta=cfg.rope_theta,

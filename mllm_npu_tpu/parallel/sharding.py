@@ -22,9 +22,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # mismatch and padded with None.
 LLAMA_RULES: list[tuple[str, P]] = [
     (r"embed_tokens/embedding$",                      P("tensor", "fsdp")),
-    (r"(q_proj|k_proj|v_proj)(/base)?/kernel$",       P("fsdp", "tensor")),
+    (r"(q_proj|k_proj|v_proj|qkv_proj)(/base)?/kernel$", P("fsdp", "tensor")),
     (r"o_proj(/base)?/kernel$",                       P("tensor", "fsdp")),
-    (r"(gate_proj|up_proj)(/base)?/kernel$",          P("fsdp", "tensor")),
+    (r"(gate_proj|up_proj|gate_up_proj)(/base)?/kernel$", P("fsdp", "tensor")),
     (r"down_proj(/base)?/kernel$",                    P("tensor", "fsdp")),
     (r"lm_head/kernel$",                              P("fsdp", "tensor")),
     (r"lora_a$",                                      P("fsdp", None)),

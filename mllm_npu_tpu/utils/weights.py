@@ -660,3 +660,38 @@ def quantize_llama_params(lm_params: dict) -> dict:
     from mllm_npu_tpu.ops.quant import quantize_dense_params
 
     return quantize_dense_params(lm_params, skip=("embed",))
+
+
+def fuse_llama_projections(lm_params: dict) -> dict:
+    """Concatenate q/k/v kernels into qkv_proj and gate/up into
+    gate_up_proj (build the model with
+    LlamaConfig(fused_projections=True)). Serving-time transform: one
+    matvec instead of three/two per block halves the decode loop's
+    kernel-launch count and streams larger contiguous weight tiles.
+    Works on plain [K, N] and scan-stacked [L, K, N] kernels; apply
+    BEFORE quantize_llama_params. LoRA trees must be merged first."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(lm_params)
+    assert not any("lora_a" in p or "base" in p for p in flat), \
+        "merge LoRA adapters before fusing projections"
+
+    out = {}
+    for path, leaf in flat.items():
+        if path[-1] != "kernel":
+            out[path] = leaf
+            continue
+        name = path[-2]
+        if name in ("k_proj", "v_proj", "up_proj"):
+            continue  # folded into the fused kernel below
+        if name == "q_proj":
+            sib = lambda n: flat[path[:-2] + (n, "kernel")]
+            out[path[:-2] + ("qkv_proj", "kernel")] = jnp.concatenate(
+                [leaf, sib("k_proj"), sib("v_proj")], axis=-1)
+        elif name == "gate_proj":
+            sib = lambda n: flat[path[:-2] + (n, "kernel")]
+            out[path[:-2] + ("gate_up_proj", "kernel")] = jnp.concatenate(
+                [leaf, sib("up_proj")], axis=-1)
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)

@@ -109,3 +109,32 @@ def test_lora_dropout_active_only_with_rng():
                            rngs={"dropout": jax.random.PRNGKey(3)})
     assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 0
     assert np.abs(np.asarray(r1) - np.asarray(det1)).max() > 0
+
+
+def test_fused_projections_match_unfused():
+    """Serving-time qkv/gate_up fusion is numerically identical
+    (utils.weights.fuse_llama_projections + fused_projections=True)."""
+    import dataclasses
+
+    from mllm_npu_tpu.utils.weights import fuse_llama_projections
+
+    model, params, ids = _init()
+    logits, _, _ = model.apply(params, ids)
+
+    cfg2 = dataclasses.replace(CFG, fused_projections=True)
+    model2 = LlamaForCausalLM(cfg2, dtype=jnp.float32)
+    p2 = {"params": fuse_llama_projections(params["params"])}
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(
+                model2.init(jax.random.PRNGKey(1), ids)))
+    logits2, _, _ = model2.apply(p2, ids)
+    np.testing.assert_allclose(logits, logits2, atol=1e-5)
+
+    # cached decode path too
+    cache = init_cache(CFG, 2, 24, dtype=jnp.float32)
+    _, _, cache = model.apply(params, ids, cache=cache, prefill=True)
+    l1, _, _ = model.apply(params, ids[:, :1], cache=cache)
+    cache2 = init_cache(cfg2, 2, 24, dtype=jnp.float32)
+    _, _, cache2 = model2.apply(p2, ids, cache=cache2, prefill=True)
+    l2, _, _ = model2.apply(p2, ids[:, :1], cache=cache2)
+    np.testing.assert_allclose(l1, l2, atol=1e-5)
