@@ -1,0 +1,133 @@
+"""Serving throughput: continuous-batching aggregate tokens/sec.
+
+Measures the ContinuousBatchingEngine at the 500m preset with N
+concurrent synthetic requests, against the single-request decode rate
+(benchmarks/latency.py). Decode is HBM-bandwidth-bound, so batching
+slots multiplies tokens/sec until compute saturates.
+
+Timing uses two different decode lengths and takes the slope, which
+cancels the fixed host<->device round-trip of the measurement harness
+(the axon relay adds ~26 ms per value fetch; a naive total/steps figure
+would understate throughput).
+
+  python benchmarks/throughput.py --slots 8 --prompt_tokens 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=["tiny", "500m"], default="500m")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--prompt_tokens", type=int, default=128)
+    p.add_argument("--max_len", type=int, default=512)
+    p.add_argument("--block_steps", type=int, default=32)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--fused", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaConfig, LlamaForCausalLM)
+    from mllm_npu_tpu.models.mllm import GeneralizedMultimodalModel
+    from mllm_npu_tpu.models.multimodal_encoder.siglip_vit import (
+        SigLIPConfig, SigLIPVisionEncoder)
+    from mllm_npu_tpu.models.multimodal_projector.attention_resampler \
+        import AttentionResampler
+    from mllm_npu_tpu.serve.batched_engine import ContinuousBatchingEngine
+
+    if args.preset == "tiny":
+        lm_cfg = LlamaConfig.tiny()
+        vis_cfg = SigLIPConfig.tiny()
+        nq, heads = 4, 4
+    else:
+        lm_cfg = LlamaConfig(
+            vocab_size=32000, hidden_size=1536, intermediate_size=4096,
+            num_hidden_layers=16, num_attention_heads=16,
+            num_key_value_heads=8, max_position_embeddings=4096)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 16
+
+    lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
+    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+    proj = AttentionResampler(grid_size=int(nq ** 0.5),
+                              embed_dim=lm_cfg.hidden_size,
+                              num_heads=heads, kv_dim=vis_cfg.hidden_size,
+                              dtype=jnp.bfloat16)
+    model = GeneralizedMultimodalModel(
+        language_model=lm, vision_encoder=vis, projector=proj,
+        freeze_vision_encoder=True, add_patch_pos=True,
+        patch_pos_dim=lm_cfg.hidden_size)
+
+    rs = np.random.RandomState(0)
+    S = args.prompt_tokens
+    ids = jnp.asarray(rs.randint(5, lm_cfg.vocab_size, (1, S)), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), ids, None,
+        jnp.ones((1, S), jnp.int32), ids, None, None,
+        jnp.zeros((1, S), bool), jnp.zeros((1, S), bool), None)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    if args.fused:
+        import dataclasses
+        from mllm_npu_tpu.utils.weights import fuse_llama_projections
+        lm_cfg = dataclasses.replace(lm_cfg, fused_projections=True)
+        model = model.clone(language_model=LlamaForCausalLM(
+            lm_cfg, dtype=jnp.bfloat16))
+        pp = dict(params["params"])
+        pp["language_model"] = fuse_llama_projections(pp["language_model"])
+        params = {"params": pp}
+    if args.int8:
+        import dataclasses
+        from mllm_npu_tpu.utils.weights import quantize_llama_params
+        lm_cfg = dataclasses.replace(lm_cfg, quantization="int8")
+        model = model.clone(language_model=LlamaForCausalLM(
+            lm_cfg, dtype=jnp.bfloat16))
+        pp = dict(params["params"])
+        pp["language_model"] = quantize_llama_params(pp["language_model"])
+        params = {"params": pp}
+
+    # One engine; time blocks 2..N of a continuous run (slope past the
+    # first timed point cancels prefill + compile + fixed RTT).
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=args.slots,
+        max_len=args.max_len, block_steps=args.block_steps,
+        prompt_bucket=S, eos_token_id=-1)
+    n_warm, n_meas = 2, 8
+    budget = args.block_steps * (n_warm + n_meas) + 2
+    for _ in range(args.slots):
+        eng.submit(np.asarray(ids[0]), max_new_tokens=budget)
+    for _ in range(n_warm):
+        eng.step()            # includes compile of prefill+decode
+    t0 = time.perf_counter()
+    for _ in range(n_meas):
+        eng.step()
+    dt = time.perf_counter() - t0
+    n_tok = n_meas * args.block_steps * args.slots
+    tok_per_sec = n_tok / dt
+    per_tok_ms = 1e3 * args.slots / tok_per_sec
+
+    print(json.dumps({
+        "preset": args.preset, "slots": args.slots,
+        "int8": args.int8, "fused": args.fused,
+        "prompt_tokens": S, "block_steps": args.block_steps,
+        "agg_tokens_per_sec": round(tok_per_sec, 1),
+        "step_ms_all_slots": round(per_tok_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

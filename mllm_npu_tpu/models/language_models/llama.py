@@ -247,10 +247,20 @@ class LlamaAttention(nn.Module):
         new_cache = None
         if layer_cache is not None:
             ck, cv = layer_cache  # [B, max_len, Hkv, D]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_pos, 0, 0))
+            if jnp.ndim(cache_pos) == 1:
+                # per-row write positions (continuous-batching decode:
+                # slots join at different offsets). S must be 1.
+                assert S == 1, "vector cache_pos requires single-token step"
+                upd = jax.vmap(
+                    lambda c, x, p: jax.lax.dynamic_update_slice(
+                        c, x, (p, 0, 0)))
+                ck = upd(ck, k.astype(ck.dtype), cache_pos)
+                cv = upd(cv, v.astype(cv.dtype), cache_pos)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                                  (0, cache_pos, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                                  (0, cache_pos, 0, 0))
             new_cache = (ck, cv)
             if prefill:
                 # cache starts empty at prefill: attention only spans the
@@ -264,14 +274,26 @@ class LlamaAttention(nn.Module):
                 k, v = ck.astype(k.dtype), cv.astype(v.dtype)
                 # decode: mask keys beyond the filled region
                 kv_len = k.shape[1]
-                kv_valid = (jax.lax.broadcasted_iota(
-                    jnp.int32, (1, kv_len), 1) < cache_pos + S)
-                am = kv_valid[:, None, None, :]  # [1,1,1,Skv]
-                if attn_mask is not None:
-                    am = jnp.logical_and(am, attn_mask)
-                out = ops.multi_head_attention(
-                    q, k, v, causal=True, attn_mask=am, q_offset=cache_pos,
-                    impl="eager")
+                if jnp.ndim(cache_pos) == 1:
+                    # per-row filled length; S == 1 so every valid key
+                    # is in the past — causal handled by the mask alone
+                    kv_valid = (jax.lax.broadcasted_iota(
+                        jnp.int32, (B, kv_len), 1)
+                        < (cache_pos + S)[:, None])
+                    am = kv_valid[:, None, None, :]  # [B,1,1,Skv]
+                    if attn_mask is not None:
+                        am = jnp.logical_and(am, attn_mask)
+                    out = ops.multi_head_attention(
+                        q, k, v, causal=False, attn_mask=am, impl="eager")
+                else:
+                    kv_valid = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, kv_len), 1) < cache_pos + S)
+                    am = kv_valid[:, None, None, :]  # [1,1,1,Skv]
+                    if attn_mask is not None:
+                        am = jnp.logical_and(am, attn_mask)
+                    out = ops.multi_head_attention(
+                        q, k, v, causal=True, attn_mask=am,
+                        q_offset=cache_pos, impl="eager")
         else:
             out = ops.multi_head_attention(
                 q, k, v, causal=True, segment_ids=segment_ids,
@@ -397,7 +419,9 @@ class LlamaModel(nn.Module):
         if cache is not None:
             cache_pos = cache["pos"]
             if positions is None:
-                positions = (cache_pos
+                cp = cache_pos[:, None] if jnp.ndim(cache_pos) == 1 \
+                    else cache_pos
+                positions = (cp
                              + jax.lax.broadcasted_iota(jnp.int32, (B, S), 1))
         if positions is None:
             positions = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)

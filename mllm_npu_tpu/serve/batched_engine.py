@@ -1,0 +1,322 @@
+"""Continuous-batching decode engine (TPU-native serving headroom).
+
+The reference serves one request per worker at a time (a semaphore
+guards the model, reference serve/worker.py:360-371); decode is
+HBM-bandwidth-bound, so tokens/sec/chip scales almost linearly with
+concurrent sequences until the MXU saturates. This engine adds
+slot-based continuous batching on top of the same model stack:
+
+- a fixed pool of B decode slots shares one static KV cache
+  ``[L, B, max_len, Hkv, D]`` (static shapes: one compiled decode step
+  for the whole engine lifetime);
+- prefill runs per request (bucketed prompt lengths) and its KV prefix
+  is inserted into a free slot; decode then advances ALL active slots
+  one token per step in a single jitted call — requests join and leave
+  the batch without recompiling or stalling other requests;
+- per-slot write positions use the vector ``cache_pos`` path of
+  LlamaAttention (vmapped dynamic_update_slice), per-slot validity is a
+  ``[B, max_len]`` key mask, and RoPE positions restart per slot.
+
+Decode steps run in blocks of ``block_steps`` per host dispatch to
+amortize dispatch latency; emitted tokens stream back per request.
+
+Greedy decoding matches MLLMGenerator token-for-token (tested in
+tests/test_batched_engine.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mllm_npu_tpu.models.language_models.llama import init_cache
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    input_ids: np.ndarray                 # [Sp] int32
+    images: Optional[jnp.ndarray] = None
+    embeds_cmp_mask: Optional[jnp.ndarray] = None
+    ids_cmp_mask: Optional[np.ndarray] = None
+    patch_positions: Optional[jnp.ndarray] = None
+    max_new_tokens: int = 128
+    # filled by the engine:
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over a GeneralizedMultimodalModel
+    (or SEED) + Llama stack. Greedy decoding (the reference's serving
+    parity mode, mllm.py:169-175)."""
+
+    def __init__(self, model, lm_config, params, *,
+                 num_slots: int = 8,
+                 max_len: int = 1024,
+                 block_steps: int = 8,
+                 prompt_bucket: int = 128,
+                 eos_token_id: int = -1,
+                 pad_token_id: int = 0,
+                 cache_dtype=jnp.bfloat16):
+        self.model = model
+        self.cfg = lm_config
+        self.params = params
+        self.B = num_slots
+        self.max_len = max_len
+        self.block_steps = block_steps
+        self.prompt_bucket = prompt_bucket
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.cache_dtype = cache_dtype
+
+        cache = init_cache(lm_config, num_slots, max_len, dtype=cache_dtype)
+        self.state = {
+            "k": cache["k"], "v": cache["v"],
+            "key_valid": jnp.zeros((num_slots, max_len), bool),
+            "write_pos": jnp.full((num_slots,), max_len - 1, jnp.int32),
+            "rope_pos": jnp.zeros((num_slots,), jnp.int32),
+            "cur_tok": jnp.full((num_slots,), pad_token_id, jnp.int32),
+            "active": jnp.zeros((num_slots,), bool),
+            "n_gen": jnp.zeros((num_slots,), jnp.int32),
+            "max_gen": jnp.zeros((num_slots,), jnp.int32),
+        }
+        self._slot_req: List[Optional[Request]] = [None] * num_slots
+        self._pending: deque[Request] = deque()
+        self._uid = 0
+        self._prefill_cache: Dict[Any, Any] = {}
+        self._decode_fn = None
+
+    # ------------------------------------------------------------------
+    # jitted pieces
+    # ------------------------------------------------------------------
+
+    def _lm_apply(self, params, tok, cache, positions, attn_mask,
+                  prefill=False, segment_ids=None, inputs_embeds=None):
+        def fwd(m, **kw):
+            return m.language_model(**kw)
+        return self.model.apply(
+            params, input_ids=tok, inputs_embeds=inputs_embeds,
+            cache=cache, positions=positions, attn_mask=attn_mask,
+            segment_ids=segment_ids, prefill=prefill, method=fwd)
+
+    def _get_prefill(self, bucket: int, has_images: bool, n_img: int):
+        key = (bucket, has_images, n_img)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+
+        cfg = self.cfg
+
+        def run(params, input_ids, prompt_mask, images, embeds_cmp_mask,
+                ids_cmp_mask, patch_positions):
+            from mllm_npu_tpu.ops import SegmentIds
+            if has_images:
+                embeds, _ = self.model.apply(
+                    params, input_ids, images, embeds_cmp_mask,
+                    ids_cmp_mask, patch_positions,
+                    method=self.model.embed_and_scatter)
+            else:
+                embeds, _ = self.model.apply(
+                    params, input_ids, None, None, None, None,
+                    method=self.model.embed_and_scatter)
+            cache = init_cache(cfg, 1, bucket, dtype=self.cache_dtype)
+            pm = prompt_mask.astype(jnp.int32)
+            row_len = pm.sum(axis=-1)                      # [1]
+            positions = jnp.clip(jnp.cumsum(pm, axis=-1) - 1, 0, None)
+            logits, _, cache = self._lm_apply(
+                params, None, cache, positions, None,
+                prefill=True, segment_ids=SegmentIds(q=pm, kv=pm),
+                inputs_embeds=embeds)
+            idx_last = (row_len - 1)[:, None]
+            last = jnp.take_along_axis(
+                logits, idx_last[:, :, None], axis=1)[:, 0]
+            first_tok = jnp.argmax(
+                last.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            return first_tok[0], cache["k"], cache["v"], row_len[0]
+
+        fn = jax.jit(run)
+        self._prefill_cache[key] = fn
+        return fn
+
+    def _get_insert(self, bucket: int):
+        key = ("insert", bucket)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+
+        max_len = self.max_len
+
+        def run(state, slot, kv_k, kv_v, prompt_mask, first_tok, row_len,
+                max_new):
+            # kv_k: [L, 1, bucket, Hkv, D] -> write into slot at offset 0
+            L = kv_k.shape[0]
+            k = jax.lax.dynamic_update_slice(
+                state["k"], kv_k.astype(state["k"].dtype),
+                (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                state["v"], kv_v.astype(state["v"].dtype),
+                (0, slot, 0, 0, 0))
+            row_valid = jnp.concatenate(
+                [prompt_mask[0].astype(bool),
+                 jnp.zeros((max_len - bucket,), bool)])
+            key_valid = jax.lax.dynamic_update_slice(
+                state["key_valid"], row_valid[None], (slot, 0))
+            done0 = first_tok == self.eos
+            upd = lambda a, x: a.at[slot].set(x)
+            return {
+                "k": k, "v": v, "key_valid": key_valid,
+                "write_pos": upd(state["write_pos"], bucket),
+                "rope_pos": upd(state["rope_pos"], row_len),
+                "cur_tok": upd(state["cur_tok"], first_tok),
+                "active": upd(state["active"],
+                              jnp.logical_and(~done0, max_new > 1)),
+                "n_gen": upd(state["n_gen"], 1),
+                "max_gen": upd(state["max_gen"], max_new),
+            }
+
+        fn = jax.jit(run, donate_argnums=(0,))
+        self._prefill_cache[key] = fn
+        return fn
+
+    def _get_decode(self):
+        if self._decode_fn is not None:
+            return self._decode_fn
+
+        n_steps = self.block_steps
+        B, max_len = self.B, self.max_len
+        eos, pad = self.eos, self.pad
+
+        def run(params, state):
+            def body(carry, _):
+                st = carry
+                act = st["active"]
+                cache = {"k": st["k"], "v": st["v"],
+                         "pos": st["write_pos"]}
+                # the token being fed becomes a valid key for itself
+                # (causal attention includes self)
+                key_valid = jnp.logical_or(
+                    st["key_valid"],
+                    jax.nn.one_hot(st["write_pos"], max_len, dtype=bool)
+                    & act[:, None])
+                am = key_valid[:, None, None, :]
+                logits, _, cache = self._lm_apply(
+                    params, st["cur_tok"][:, None], cache,
+                    st["rope_pos"][:, None], am)
+                nxt = jnp.argmax(
+                    logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+                nxt = jnp.where(act, nxt, pad)
+                n_gen = st["n_gen"] + act.astype(jnp.int32)
+                done_now = jnp.logical_or(nxt == eos,
+                                          n_gen >= st["max_gen"])
+                new_active = jnp.logical_and(act, ~done_now)
+                st = {
+                    "k": cache["k"], "v": cache["v"],
+                    "key_valid": key_valid,
+                    "write_pos": st["write_pos"] + act.astype(jnp.int32),
+                    "rope_pos": st["rope_pos"] + act.astype(jnp.int32),
+                    "cur_tok": jnp.where(new_active, nxt, pad),
+                    "active": new_active,
+                    "n_gen": n_gen,
+                    "max_gen": st["max_gen"],
+                }
+                # emit: the sampled token for rows active at step entry
+                emitted = jnp.where(act, nxt, pad)
+                return st, (emitted, act)
+
+            st, (toks, mask) = jax.lax.scan(body, state, None,
+                                            length=n_steps)
+            return st, toks.T, mask.T     # [B, n_steps]
+
+        self._decode_fn = jax.jit(run, donate_argnums=(1,))
+        return self._decode_fn
+
+    # ------------------------------------------------------------------
+    # host-side engine loop
+    # ------------------------------------------------------------------
+
+    def submit(self, input_ids, *, images=None, embeds_cmp_mask=None,
+               ids_cmp_mask=None, patch_positions=None,
+               max_new_tokens: int = 128) -> Request:
+        self._uid += 1
+        req = Request(self._uid, np.asarray(input_ids, np.int32),
+                      images=images, embeds_cmp_mask=embeds_cmp_mask,
+                      ids_cmp_mask=ids_cmp_mask,
+                      patch_positions=patch_positions,
+                      max_new_tokens=max_new_tokens)
+        self._pending.append(req)
+        return req
+
+    def _admit(self):
+        for slot in range(self.B):
+            if self._slot_req[slot] is not None or not self._pending:
+                continue
+            req = self._pending.popleft()
+            Sp = len(req.input_ids)
+            bucket = min(_round_up(Sp, self.prompt_bucket),
+                         self.max_len)
+            assert Sp <= bucket, "prompt longer than engine max_len"
+            ids = np.full((1, bucket), self.pad, np.int32)
+            ids[0, :Sp] = req.input_ids
+            pm = np.zeros((1, bucket), np.int32)
+            pm[0, :Sp] = 1
+            has_images = req.images is not None
+            n_img = 0 if req.images is None else int(req.images.shape[0])
+            icm = None
+            if req.ids_cmp_mask is not None:
+                icm = np.zeros((1, bucket), bool)
+                icm[0, :Sp] = req.ids_cmp_mask
+                icm = jnp.asarray(icm)
+            prefill = self._get_prefill(bucket, has_images, n_img)
+            first_tok, kv_k, kv_v, row_len = prefill(
+                self.params, jnp.asarray(ids), jnp.asarray(pm),
+                req.images, req.embeds_cmp_mask, icm,
+                req.patch_positions)
+            insert = self._get_insert(bucket)
+            self.state = insert(self.state, slot, kv_k, kv_v,
+                                jnp.asarray(pm), first_tok, row_len,
+                                req.max_new_tokens)
+            tok0 = int(first_tok)
+            req.tokens.append(tok0)
+            if tok0 == self.eos or req.max_new_tokens <= 1:
+                req.done = True
+                self._slot_req[slot] = None
+            else:
+                self._slot_req[slot] = req
+
+    def step(self) -> bool:
+        """One engine tick: admit pending requests, run a decode block,
+        distribute emitted tokens. Returns True if work remains."""
+        self._admit()
+        if not any(r is not None for r in self._slot_req):
+            return bool(self._pending)
+        decode = self._get_decode()
+        self.state, toks, mask = decode(self.params, self.state)
+        toks = np.asarray(toks)
+        mask = np.asarray(mask)
+        active = np.asarray(self.state["active"])
+        for slot, req in enumerate(self._slot_req):
+            if req is None:
+                continue
+            for t, m in zip(toks[slot], mask[slot]):
+                if m:
+                    req.tokens.append(int(t))
+            if not active[slot]:
+                req.done = True
+                self._slot_req[slot] = None
+        return bool(self._pending) or \
+            any(r is not None for r in self._slot_req)
+
+    def run_until_idle(self, max_ticks: int = 10_000):
+        ticks = 0
+        while self.step():
+            ticks += 1
+            if ticks > max_ticks:
+                raise RuntimeError("engine did not drain")
