@@ -271,9 +271,8 @@ class LlamaAttention(nn.Module):
                     attn_mask=attn_mask, impl=cfg.attention_impl,
                     interpret=cfg.attention_interpret)
             else:
-                k, v = ck.astype(k.dtype), cv.astype(v.dtype)
                 # decode: mask keys beyond the filled region
-                kv_len = k.shape[1]
+                kv_len = ck.shape[1]
                 if jnp.ndim(cache_pos) == 1:
                     # per-row filled length; S == 1 so every valid key
                     # is in the past — causal handled by the mask alone
@@ -283,17 +282,22 @@ class LlamaAttention(nn.Module):
                     am = kv_valid[:, None, None, :]  # [B,1,1,Skv]
                     if attn_mask is not None:
                         am = jnp.logical_and(am, attn_mask)
-                    out = ops.multi_head_attention(
-                        q, k, v, causal=False, attn_mask=am, impl="eager")
+                    out = ops.decode_attention(q, ck, cv, am)
                 else:
                     kv_valid = (jax.lax.broadcasted_iota(
                         jnp.int32, (1, kv_len), 1) < cache_pos + S)
                     am = kv_valid[:, None, None, :]  # [1,1,1,Skv]
                     if attn_mask is not None:
                         am = jnp.logical_and(am, attn_mask)
-                    out = ops.multi_head_attention(
-                        q, k, v, causal=True, attn_mask=am,
-                        q_offset=cache_pos, impl="eager")
+                    if S == 1:
+                        # single-token step: every valid key is in the
+                        # past; bandwidth-lean bf16 cache read
+                        out = ops.decode_attention(q, ck, cv, am)
+                    else:
+                        k, v = ck.astype(k.dtype), cv.astype(v.dtype)
+                        out = ops.multi_head_attention(
+                            q, k, v, causal=True, attn_mask=am,
+                            q_offset=cache_pos, impl="eager")
         else:
             out = ops.multi_head_attention(
                 q, k, v, causal=True, segment_ids=segment_ids,

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from mllm_npu_tpu.ops.attention import dot_product_attention
+from mllm_npu_tpu.ops.attention import (decode_attention,
+                                        dot_product_attention)
 from mllm_npu_tpu.ops.flash_attention import SegmentIds, flash_attention
 from mllm_npu_tpu.ops.norms import layer_norm, rms_norm
 from mllm_npu_tpu.ops.rope import apply_rope, rope_cos_sin

@@ -123,3 +123,37 @@ def dot_product_attention(
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf,
                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,          # [B, 1, Hq, D]
+    k: jax.Array,          # [B, Sk, Hkv, D] (cache dtype, e.g. bf16)
+    v: jax.Array,
+    attn_mask: jax.Array,  # broadcastable to [B, 1, 1, Sk] (True=attend)
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-token cached-decode attention, bandwidth-lean.
+
+    Unlike :func:`dot_product_attention` (the fp32-HIGHEST numerics
+    oracle), this keeps k/v in their cache dtype — the decode loop
+    streams the whole KV cache every step, and upcasting it to fp32
+    first doubles that traffic. Logits accumulate in fp32 via
+    ``preferred_element_type``; softmax in fp32.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    G = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    qg = (q.astype(jnp.float32) * scale).astype(k.dtype)
+    qg = qg.reshape(B, Sq, Hkv, G, D)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32)
+    am = jnp.broadcast_to(attn_mask, (B, 1, 1, Sk)) \
+        .reshape(B, 1, 1, 1, Sk)
+    logits = jnp.where(am, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Sq, Hq, D).astype(q.dtype)
