@@ -81,8 +81,9 @@ class InferenceEngine:
 
     # -- helpers -----------------------------------------------------------
 
-    def comprehension(self, input_text: str, image_b64: str,
-                      max_new_tokens: Optional[int] = None) -> str:
+    def _prepare_comprehension(self, input_text: str, image_b64: str):
+        """b64 image + question → (prompt ids, anyres patches, masks).
+        Shared by the single-request and continuous-batching paths."""
         image = Image.open(io.BytesIO(
             base64.b64decode(image_b64))).convert("RGB")
         patches, patch_pos = process_anyres_image(
@@ -103,7 +104,19 @@ class InferenceEngine:
         eoi_idx = np.where((ids == self.eoi) | (ids == self.eop))[0]
         for b, e in zip(boi_idx, eoi_idx):
             ids_cmp_mask[b + 1:e] = True
+        return ids, patches, patch_pos, ids_cmp_mask
 
+    def _strip_text(self, gen_ids: np.ndarray) -> str:
+        text = self._decode_text(gen_ids)
+        text = re.sub(r"<[^>]*>", "", text)
+        text = re.sub(r"\[(.*)\]", "", text)
+        return text.split("\n")[0]
+
+    def comprehension(self, input_text: str, image_b64: str,
+                      max_new_tokens: Optional[int] = None) -> str:
+        ids, patches, patch_pos, ids_cmp_mask = \
+            self._prepare_comprehension(input_text, image_b64)
+        n = patches.shape[0]
         out = self.generator.generate(
             jnp.asarray(ids[None]),
             images=jnp.asarray(patches),
@@ -112,10 +125,7 @@ class InferenceEngine:
             patch_positions=jnp.asarray(patch_pos),
             num_img_gen_tokens=self.num_img_out_tokens)
         gen_ids = np.asarray(out["generate_ids"][0])
-        text = self._decode_text(gen_ids)
-        text = re.sub(r"<[^>]*>", "", text)
-        text = re.sub(r"\[(.*)\]", "", text)
-        return text.split("\n")[0]
+        return self._strip_text(gen_ids)
 
     def text_to_image_features(self, caption: str):
         prompt = f"{caption}{BOI_TOKEN}"
@@ -154,3 +164,103 @@ class InferenceEngine:
                 keep[hits[0]:] = False
         return self.tokenizer.decode(gen_ids[keep],
                                      skip_special_tokens=False)
+
+
+class BatchedInferenceEngine(InferenceEngine):
+    """InferenceEngine whose comprehension branch runs through the
+    ContinuousBatchingEngine: concurrent HTTP requests share one static
+    KV cache and decode together (aggregate tokens/s scales with slots
+    until the MXU saturates — the reference's semaphore serializes the
+    model instead, reference serve/worker.py:360-371).
+
+    The de-tokenizer (image_gen) branch stays on the single-request
+    generator — forced-ladder decodes are short and per-request.
+
+    Thread model: callers (worker executor threads) prepare inputs and
+    ``submit``; one drain thread owns every jitted engine call; a
+    Condition hands off completion events.
+    """
+
+    def __init__(self, *, num_slots: int = 8, max_len: int = 2048,
+                 max_prompt: int = 1024, block_steps: int = 16,
+                 batch_prompt_bucket: int = 128, **kw):
+        super().__init__(**kw)
+        import threading
+
+        from mllm_npu_tpu.serve.batched_engine import \
+            ContinuousBatchingEngine
+
+        gen = self.generator
+        self.batch_engine = ContinuousBatchingEngine(
+            gen.model, gen.lm_config, gen.params,
+            num_slots=num_slots, max_len=max_len,
+            block_steps=block_steps, prompt_bucket=batch_prompt_bucket,
+            max_prompt=max_prompt,
+            eos_token_id=gen.sampling.eos_token_id,
+            pad_token_id=gen.sampling.pad_token_id,
+            cache_dtype=gen.cache_dtype)
+        self._cv = threading.Condition()
+        self._inflight: dict = {}          # uid -> (Request, Event)
+        self._engine_error: Optional[BaseException] = None
+        self._drain = threading.Thread(target=self._drain_loop,
+                                       daemon=True)
+        self._drain.start()
+
+    def comprehension(self, input_text: str, image_b64: str,
+                      max_new_tokens: Optional[int] = None) -> str:
+        import threading
+
+        ids, patches, patch_pos, ids_cmp_mask = \
+            self._prepare_comprehension(input_text, image_b64)
+        n = patches.shape[0]
+        eng = self.batch_engine
+        mnt = max_new_tokens or self.generator.sampling.max_new_tokens
+        mnt = min(mnt, eng.capacity_for(len(ids)))
+        if mnt < 1:
+            raise ValueError(
+                f"prompt of {len(ids)} tokens exceeds the batched "
+                f"engine's capacity (max_prompt={eng.max_prompt}, "
+                f"max_len={eng.max_len})")
+        ev = threading.Event()
+        with self._cv:
+            if self._engine_error is not None:
+                raise RuntimeError("batched engine failed") \
+                    from self._engine_error
+            req = eng.submit(
+                ids, images=jnp.asarray(patches),
+                embeds_cmp_mask=jnp.ones((n,), bool),
+                ids_cmp_mask=ids_cmp_mask,
+                patch_positions=jnp.asarray(patch_pos),
+                max_new_tokens=mnt)
+            self._inflight[req.uid] = (req, ev)
+            self._cv.notify()
+        ev.wait()
+        with self._cv:
+            if self._engine_error is not None:
+                raise RuntimeError("batched engine failed") \
+                    from self._engine_error
+        return self._strip_text(np.asarray(req.tokens, np.int32))
+
+    def _drain_loop(self):
+        eng = self.batch_engine
+        while True:
+            with self._cv:
+                while not self._inflight and self._engine_error is None:
+                    self._cv.wait()
+                if self._engine_error is not None:
+                    return
+            try:
+                eng.step()
+            except BaseException as e:  # noqa: BLE001 — fail loudly
+                log.exception("batched engine drain loop failed")
+                with self._cv:
+                    self._engine_error = e
+                    for _, (req, ev) in self._inflight.items():
+                        req.done = True
+                        ev.set()
+                    self._inflight.clear()
+                return
+            with self._cv:
+                for uid in [u for u, (r, _) in self._inflight.items()
+                            if r.done]:
+                    self._inflight.pop(uid)[1].set()

@@ -149,7 +149,10 @@ def create_app(worker: ModelWorker) -> web.Application:
 
 def load_engine_from_config(model_config_path: str,
                             max_new_tokens: int = 512,
-                            generation_config_path: str = None):
+                            generation_config_path: str = None,
+                            batched: bool = False,
+                            num_slots: int = 8,
+                            max_len: int = 2048):
     """Build the InferenceEngine from a model YAML (the worker-side
     analogue of reference worker.py:65-109's model stack load)."""
     import jax
@@ -182,11 +185,17 @@ def load_engine_from_config(model_config_path: str,
             vae_checkpoint=gen_cfg.get("vae_checkpoint"),
             adapter_checkpoint=gen_cfg.get("adapter_checkpoint"),
             vit_down=gen_cfg.get("vit_down", False))
-    return InferenceEngine(
+    common = dict(
         model=bundle.module, lm_config=llm.config, params=params,
         tokenizer=tokenizer, image_transform=processor, adapter=adapter,
         num_img_in_tokens=nq, num_img_out_tokens=nq,
         max_new_tokens=max_new_tokens)
+    if batched:
+        from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+        return BatchedInferenceEngine(
+            num_slots=num_slots, max_len=max_len,
+            max_prompt=max_len // 2, **common)
+    return InferenceEngine(**common)
 
 
 def main():
@@ -202,10 +211,20 @@ def main():
     parser.add_argument("--generation-config", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--batched", action="store_true",
+                        help="continuous-batching comprehension: "
+                             "concurrent requests share one KV cache")
+    parser.add_argument("--num-slots", type=int, default=8)
+    parser.add_argument("--max-cache-len", type=int, default=2048)
     args = parser.parse_args()
     build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
     engine = load_engine_from_config(
-        args.model_config, generation_config_path=args.generation_config)
+        args.model_config, generation_config_path=args.generation_config,
+        batched=args.batched, num_slots=args.num_slots,
+        max_len=args.max_cache_len)
+    if args.batched:
+        args.limit_model_concurrency = max(
+            args.limit_model_concurrency, args.num_slots)
     worker = ModelWorker(args.controller_address, args.worker_address,
                          uuid.uuid4().hex[:6], args.model_name, engine,
                          no_register=args.no_register,

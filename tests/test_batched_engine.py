@@ -68,38 +68,28 @@ def test_slot_recycling_more_requests_than_slots():
         assert req.done and req.tokens == exp
 
 
-def test_compaction_then_fresh_admit():
-    """Force the shared write column to the end of the cache so the
-    jitted compaction (repack) fires mid-stream, then admit a request
-    whose prompt fills a whole bucket — its prompt keys live in columns
-    that a post-repack write column must stay clear of (g is floored at
-    max_prompt)."""
-    model, lm_cfg, params = _stack()
-    T13 = _reference_tokens(model, lm_cfg, params, [3, 17], 3)
-    T23 = _reference_tokens(model, lm_cfg, params, [42, 9], 3)
-    p3 = [7]
-    p4 = [5, 1, 88, 200, 14, 3, 77, 21]          # full 8-wide bucket
-    e3 = _reference_tokens(model, lm_cfg, params, p3, 12)
-    e4 = _reference_tokens(model, lm_cfg, params, p4, 3)
+def test_capacity_validation():
+    """submit() rejects requests that cannot fit a cache row (per-row
+    write positions: a row holds prompt bucket + generated tokens)."""
+    import pytest
 
+    model, lm_cfg, params = _stack()
     eng = ContinuousBatchingEngine(
-        model, lm_cfg, params, num_slots=2, max_len=16, block_steps=2,
-        prompt_bucket=8, max_prompt=8, eos_token_id=-1,
+        model, lm_cfg, params, num_slots=2, max_len=32, block_steps=2,
+        prompt_bucket=8, max_prompt=16, eos_token_id=-1,
         cache_dtype=jnp.float32)
-    r1 = eng.submit([3, 17], max_new_tokens=3)
-    r2 = eng.submit([42, 9], max_new_tokens=3)
-    while not (r1.done and r2.done):
-        eng.step()
-    # r3 alone pushes g toward max_len with a small valid-key count
-    r3 = eng.submit(p3, max_new_tokens=12)
-    for _ in range(3):                            # 3rd step repacks
-        eng.step()
-    assert not r3.done
-    r4 = eng.submit(p4, max_new_tokens=3)
+    assert eng.capacity_for(5) == 24          # bucket 8
+    assert eng.capacity_for(9) == 16          # bucket 16
+    assert eng.capacity_for(17) == 0          # over max_prompt
+    with pytest.raises(ValueError):           # prompt too long
+        eng.submit(list(range(3, 20)), max_new_tokens=4)
+    with pytest.raises(ValueError):           # decode budget too big
+        eng.submit([3, 4, 5], max_new_tokens=30)
+    # a fitting request still runs
+    exp = _reference_tokens(model, lm_cfg, params, [3, 17, 42], 6)
+    r = eng.submit([3, 17, 42], max_new_tokens=6)
     eng.run_until_idle()
-    assert r1.tokens == T13 and r2.tokens == T23
-    assert r3.tokens == e3, (r3.tokens, e3)
-    assert r4.tokens == e4, (r4.tokens, e4)
+    assert r.done and r.tokens == exp
 
 
 def test_staggered_submission():

@@ -119,6 +119,46 @@ def test_worker_and_controller_http():
     asyncio.run(run())
 
 
+def test_batched_engine_serving_concurrent():
+    """BatchedInferenceEngine: concurrent comprehension requests batch
+    through one shared KV cache and match the single-request engine's
+    output exactly (greedy, fp32 cache)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, vis_cfg = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    tok = FakeTokenizer()
+
+    from mllm_npu_tpu.data.processor import ImageProcessor
+    proc = ImageProcessor(height=56, width=56)
+    common = dict(
+        model=model, lm_config=lm_cfg, params=params, tokenizer=tok,
+        image_transform=proc, resolution_grids=("1x1",),
+        base_resolution=448, num_img_in_tokens=4, num_img_out_tokens=4,
+        max_new_tokens=6, cache_dtype=jnp.float32,
+        cast_params_bf16=False)
+    single = InferenceEngine(**common)
+    batched = BatchedInferenceEngine(
+        num_slots=4, max_len=64, max_prompt=32, block_steps=2,
+        batch_prompt_bucket=16, **common)
+
+    img = _img_b64()
+    questions = [f"question number {i}?" for i in range(6)]
+    expected = [single.comprehension(q, img) for q in questions]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        got = list(ex.map(lambda q: batched.comprehension(q, img),
+                          questions))
+    assert got == expected, (got, expected)
+
+    # over-capacity prompt raises (maps to the worker's error_code 1)
+    with pytest.raises(ValueError):
+        batched.comprehension("x " * 200, img)
+
+
 def test_worker_error_contract():
     eng = _tiny_engine()
     w = ModelWorker("http://unused", "http://worker", "id0", "tiny", eng,
