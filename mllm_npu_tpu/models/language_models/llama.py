@@ -236,7 +236,8 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
-                 segment_ids=None, attn_mask=None, prefill=False):
+                 segment_ids=None, attn_mask=None, prefill=False,
+                 block_kv=None, block_mask=None):
         cfg = self.config
         B, S, _ = x.shape
         H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -286,7 +287,10 @@ class LlamaAttention(nn.Module):
                 am = kv_valid[:, None, None, :]      # [1,1,1,Skv]
             if attn_mask is not None:
                 am = jnp.logical_and(am, attn_mask)
-            out = ops.decode_attention(q, ck, cv, am, k_cur=k, v_cur=v)
+            bk, bv = block_kv if block_kv is not None else (None, None)
+            out = ops.decode_attention(q, ck, cv, am, k_cur=k, v_cur=v,
+                                       blk_k=bk, blk_v=bv,
+                                       blk_mask=block_mask)
             new_cache = (k, v)                       # slice, not cache
         elif layer_cache is not None:
             ck, cv = layer_cache  # [B, max_len, Hkv, D]
@@ -336,7 +340,8 @@ class LlamaDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
-                 segment_ids=None, attn_mask=None, prefill=False):
+                 segment_ids=None, attn_mask=None, prefill=False,
+                 block_kv=None, block_mask=None):
         cfg = self.config
         attn_out, new_cache = LlamaAttention(
             cfg, self.dtype, self.param_dtype, name="self_attn")(
@@ -344,7 +349,8 @@ class LlamaDecoderLayer(nn.Module):
                         name="input_layernorm")(x),
                 positions=positions, layer_cache=layer_cache,
                 cache_pos=cache_pos, segment_ids=segment_ids,
-                attn_mask=attn_mask, prefill=prefill)
+                attn_mask=attn_mask, prefill=prefill,
+                block_kv=block_kv, block_mask=block_mask)
         x = x + attn_out
         mlp_out = LlamaMLP(cfg, self.dtype, self.param_dtype, name="mlp")(
             RMSNorm(cfg.rms_norm_eps, self.param_dtype,
@@ -370,7 +376,8 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def _layers(self, h, positions, cache_k, cache_v, cache_pos,
-                segment_ids, attn_mask, prefill=False):
+                segment_ids, attn_mask, prefill=False,
+                block_kv=None, block_mask=None):
         cfg = self.config
         layer_cls = LlamaDecoderLayer
         if cfg.remat:
@@ -390,12 +397,16 @@ class LlamaModel(nn.Module):
         if cfg.scan_layers:
             if use_cache:
                 def body(layer, h, kv):
+                    bkv = (kv[2], kv[3]) if len(kv) == 4 else None
                     out, new_kv = layer(
-                        h, positions=positions, layer_cache=kv,
+                        h, positions=positions, layer_cache=kv[:2],
                         cache_pos=cache_pos, segment_ids=segment_ids,
-                        attn_mask=attn_mask, prefill=prefill)
+                        attn_mask=attn_mask, prefill=prefill,
+                        block_kv=bkv, block_mask=block_mask)
                     return out, new_kv
                 xs = (cache_k, cache_v)
+                if block_kv is not None:
+                    xs = (cache_k, cache_v, block_kv[0], block_kv[1])
             else:
                 def body(layer, h, _):
                     out, _kv = layer(
@@ -419,11 +430,14 @@ class LlamaModel(nn.Module):
             new_ks, new_vs = [], []
             for i in range(cfg.num_hidden_layers):
                 lc = (cache_k[i], cache_v[i]) if use_cache else None
+                bkv = None if block_kv is None else \
+                    (block_kv[0][i], block_kv[1][i])
                 h, new_kv = layer_cls(
                     cfg, self.dtype, self.param_dtype, name=f"layers_{i}")(
                         h, positions=positions, layer_cache=lc,
                         cache_pos=cache_pos, segment_ids=segment_ids,
-                        attn_mask=attn_mask, prefill=prefill)
+                        attn_mask=attn_mask, prefill=prefill,
+                        block_kv=bkv, block_mask=block_mask)
                 if new_kv is not None:
                     new_ks.append(new_kv[0])
                     new_vs.append(new_kv[1])
@@ -433,7 +447,7 @@ class LlamaModel(nn.Module):
 
     def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
                  cache=None, segment_ids=None, attn_mask=None,
-                 prefill=False):
+                 prefill=False, block_kv=None, block_mask=None):
         assert (input_ids is None) != (inputs_embeds is None)
         h = inputs_embeds if inputs_embeds is not None else \
             self.embed_tokens(input_ids)
@@ -453,11 +467,20 @@ class LlamaModel(nn.Module):
         cache_k = cache["k"] if cache is not None else None
         cache_v = cache["v"] if cache is not None else None
         h, new_kv = self._layers(h, positions, cache_k, cache_v, cache_pos,
-                                 segment_ids, attn_mask, prefill=prefill)
+                                 segment_ids, attn_mask, prefill=prefill,
+                                 block_kv=block_kv, block_mask=block_mask)
         h = self.norm(h)
         new_cache = None
         if cache is not None:
-            if not prefill and S == 1:
+            if block_kv is not None:
+                # deferred write (block decode): the cache was read-only
+                # for this step; hand the per-layer [L, B, 1, Hkv, D]
+                # columns back for the caller's block buffer and write
+                # nothing — the caller scatters the whole block at once
+                new_cache = {"k": cache["k"], "v": cache["v"],
+                             "pos": cache["pos"] + S,
+                             "k_col": new_kv[0], "v_col": new_kv[1]}
+            elif not prefill and S == 1:
                 # append-mode decode: new_kv holds the per-layer
                 # [L, B, 1, Hkv, D] slices; one scatter writes them all
                 new_cache = {
@@ -507,11 +530,12 @@ class LlamaForCausalLM(nn.Module):
 
     def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
                  cache=None, segment_ids=None, attn_mask=None,
-                 prefill=False, logits_slice: Optional[int] = None):
+                 prefill=False, logits_slice: Optional[int] = None,
+                 block_kv=None, block_mask=None):
         h, new_cache = self.model(
             input_ids, inputs_embeds=inputs_embeds, positions=positions,
             cache=cache, segment_ids=segment_ids, attn_mask=attn_mask,
-            prefill=prefill)
+            prefill=prefill, block_kv=block_kv, block_mask=block_mask)
         if logits_slice is not None:
             h_logits = h[:, -logits_slice:]
         else:

@@ -133,6 +133,9 @@ def decode_attention(
     *,
     k_cur: Optional[jax.Array] = None,   # [B, 1, Hkv, D] current token
     v_cur: Optional[jax.Array] = None,
+    blk_k: Optional[jax.Array] = None,   # [B, n, Hkv, D] block buffer
+    blk_v: Optional[jax.Array] = None,
+    blk_mask: Optional[jax.Array] = None,  # [B, n] valid block entries
     scale: Optional[float] = None,
 ) -> jax.Array:
     """Single-token cached-decode attention, bandwidth-lean.
@@ -150,6 +153,14 @@ def decode_attention(
     layer scan — threading the written cache back out through scan ys
     restacks the entire [L,B,S,H,D] cache every decode step (~400us of
     pure copy per 100MB cache on v5e, the dominant decode cost).
+
+    ``blk_k``/``blk_v``/``blk_mask`` append a small block-local buffer
+    of keys decoded EARLIER IN THE CURRENT decode block (deferred
+    cache-write mode: the big cache stays loop-invariant across a whole
+    block scan and is scattered into once per block, so XLA carries it
+    with zero per-step copies). ``blk_mask[b, j]`` is True iff buffer
+    entry j holds a real key for row b (step already executed and the
+    row was active).
     """
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
@@ -163,20 +174,30 @@ def decode_attention(
     am = jnp.broadcast_to(attn_mask, (B, 1, 1, Sk)) \
         .reshape(B, 1, 1, 1, Sk)
     logits = jnp.where(am, logits, DEFAULT_MASK_VALUE)
+    splits = [Sk]
+    if blk_k is not None:
+        n = blk_k.shape[1]
+        blk_logits = jnp.einsum(
+            "bqhgd,bnhd->bhgqn", qg, blk_k.astype(k.dtype),
+            preferred_element_type=jnp.float32)       # [B,Hkv,G,1,n]
+        bm = blk_mask.reshape(B, 1, 1, 1, n)
+        blk_logits = jnp.where(bm, blk_logits, DEFAULT_MASK_VALUE)
+        logits = jnp.concatenate([logits, blk_logits], axis=-1)
+        splits.append(splits[-1] + n)
     if k_cur is not None:
         self_logit = jnp.einsum(
             "bqhgd,bshd->bhgqs", qg, k_cur.astype(k.dtype),
             preferred_element_type=jnp.float32)       # [B,Hkv,G,1,1]
         logits = jnp.concatenate([logits, self_logit], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    if k_cur is not None:
-        pc, ps = probs[..., :Sk], probs[..., Sk:]
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", pc, v,
-                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs[..., :Sk], v,
+                     preferred_element_type=jnp.float32)
+    if blk_k is not None:
         out = out + jnp.einsum(
-            "bhgqs,bshd->bqhgd", ps, v_cur.astype(v.dtype),
-            preferred_element_type=jnp.float32)
-    else:
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v,
-                         preferred_element_type=jnp.float32)
+            "bhgqn,bnhd->bqhgd", probs[..., Sk:splits[1]],
+            blk_v.astype(v.dtype), preferred_element_type=jnp.float32)
+    if k_cur is not None:
+        out = out + jnp.einsum(
+            "bhgqs,bshd->bqhgd", probs[..., splits[-1]:],
+            v_cur.astype(v.dtype), preferred_element_type=jnp.float32)
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)

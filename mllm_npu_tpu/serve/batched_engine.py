@@ -17,14 +17,19 @@ slot-based continuous batching on top of the same model stack:
   LlamaAttention (vmapped dynamic_update_slice), per-slot validity is a
   ``[B, max_len]`` key mask, and RoPE positions restart per slot.
 
-Design note: a shared-global-write-column variant (scalar DUS + jitted
-compaction) was measured head-to-head on v5e at the 500m/8-slot config
-and lost (1199 vs 1239 tok/s aggregate) — per-row vmapped DUS compiles
-to an efficient scatter (19.7us vs 23.2us per layer-write), and per-row
-positions need no compaction and waste no cache columns on staggered
-requests. Decode attention reads the cache in its storage dtype
-(ops.decode_attention) rather than upcasting to fp32: decode streams
-the whole KV cache every step, so the upcast would double HBM traffic.
+Design notes (all measured head-to-head on v5e, 500m/8-slot config):
+- per-row write positions beat a shared-global-write-column variant
+  (scalar DUS + jitted compaction): per-row vmapped DUS compiles to an
+  efficient scatter, needs no compaction, and wastes no cache columns
+  on staggered requests;
+- decode attention reads the cache in its storage dtype
+  (ops.decode_attention) rather than upcasting to fp32: decode streams
+  the whole KV cache every step, so the upcast would double HBM traffic;
+- cache writes are DEFERRED TO BLOCK END: the big cache is
+  loop-invariant across the block's step scan (each step attends over
+  frozen cache + a small block buffer + the current token), because
+  carrying a written cache through the scan makes XLA copy the full
+  [L,B,max_len,Hkv,D] cache (k and v) every decoded token.
 
 Decode steps run in blocks of ``block_steps`` per host dispatch to
 amortize dispatch latency; emitted tokens stream back per request.
@@ -115,13 +120,15 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
 
     def _lm_apply(self, params, tok, cache, positions, attn_mask,
-                  prefill=False, segment_ids=None, inputs_embeds=None):
+                  prefill=False, segment_ids=None, inputs_embeds=None,
+                  block_kv=None, block_mask=None):
         def fwd(m, **kw):
             return m.language_model(**kw)
         return self.model.apply(
             params, input_ids=tok, inputs_embeds=inputs_embeds,
             cache=cache, positions=positions, attn_mask=attn_mask,
-            segment_ids=segment_ids, prefill=prefill, method=fwd)
+            segment_ids=segment_ids, prefill=prefill,
+            block_kv=block_kv, block_mask=block_mask, method=fwd)
 
     def _get_prefill(self, bucket: int, has_images: bool, n_img: int):
         key = (bucket, has_images, n_img)
@@ -209,21 +216,51 @@ class ContinuousBatchingEngine:
         eos, pad = self.eos, self.pad
 
         def run(params, state):
-            def body(carry, _):
-                st = carry
+            # The big KV cache is LOOP-INVARIANT across the whole block:
+            # each step attends over (frozen cache ∧ block-entry
+            # key_valid) + a small [L,B,n,Hkv,D] buffer of the block's
+            # own keys + the current token appended (ops.decode_attention
+            # blk/cur terms). One scatter at block end writes the buffer
+            # into the cache. Carrying the written cache through the
+            # step scan instead costs two full-cache copies per decoded
+            # token (~580us at the 500m/8-slot config on v5e).
+            k0, v0 = state["k"], state["v"]
+            wp0 = state["write_pos"]
+            am0 = state["key_valid"][:, None, None, :]
+            L, _, _, Hkv, D = k0.shape
+            blk_shape = (L, B, n_steps, Hkv, D)
+            carry = {
+                "blk_k": jnp.zeros(blk_shape, k0.dtype),
+                "blk_v": jnp.zeros(blk_shape, v0.dtype),
+                "was_active": jnp.zeros((B, n_steps), bool),
+                "rope_pos": state["rope_pos"],
+                "cur_tok": state["cur_tok"],
+                "active": state["active"],
+                "n_gen": state["n_gen"],
+                "max_gen": state["max_gen"],
+            }
+
+            def body(st, i):
                 act = st["active"]
-                cache = {"k": st["k"], "v": st["v"],
-                         "pos": st["write_pos"]}
-                # the token being fed becomes a valid key for itself
-                # (causal attention includes self)
-                key_valid = jnp.logical_or(
-                    st["key_valid"],
-                    jax.nn.one_hot(st["write_pos"], max_len, dtype=bool)
-                    & act[:, None])
-                am = key_valid[:, None, None, :]
-                logits, _, cache = self._lm_apply(
+                cache = {"k": k0, "v": v0, "pos": wp0}
+                logits, _, out_cache = self._lm_apply(
                     params, st["cur_tok"][:, None], cache,
-                    st["rope_pos"][:, None], am)
+                    st["rope_pos"][:, None], am0,
+                    block_kv=(st["blk_k"], st["blk_v"]),
+                    block_mask=st["was_active"])
+                blk_k = jax.lax.dynamic_update_slice(
+                    st["blk_k"], out_cache["k_col"].astype(k0.dtype),
+                    (0, 0, i, 0, 0))
+                blk_v = jax.lax.dynamic_update_slice(
+                    st["blk_v"], out_cache["v_col"].astype(v0.dtype),
+                    (0, 0, i, 0, 0))
+                # the fed token's key is a real block entry only for
+                # rows that were active this step
+                was_active = jnp.logical_or(
+                    st["was_active"],
+                    (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, n_steps), 1) == i)
+                    & act[:, None])
                 nxt = jnp.argmax(
                     logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
                 nxt = jnp.where(act, nxt, pad)
@@ -232,9 +269,8 @@ class ContinuousBatchingEngine:
                                           n_gen >= st["max_gen"])
                 new_active = jnp.logical_and(act, ~done_now)
                 st = {
-                    "k": cache["k"], "v": cache["v"],
-                    "key_valid": key_valid,
-                    "write_pos": st["write_pos"] + act.astype(jnp.int32),
+                    "blk_k": blk_k, "blk_v": blk_v,
+                    "was_active": was_active,
                     "rope_pos": st["rope_pos"] + act.astype(jnp.int32),
                     "cur_tok": jnp.where(new_active, nxt, pad),
                     "active": new_active,
@@ -245,9 +281,36 @@ class ContinuousBatchingEngine:
                 emitted = jnp.where(act, nxt, pad)
                 return st, (emitted, act)
 
-            st, (toks, mask) = jax.lax.scan(body, state, None,
-                                            length=n_steps)
-            return st, toks.T, mask.T     # [B, n_steps]
+            carry, (toks, mask) = jax.lax.scan(
+                body, carry, jnp.arange(n_steps, dtype=jnp.int32))
+
+            # block-end: scatter the buffer into the cache (per-row DUS;
+            # rows that went inactive leave a garbage tail that is never
+            # marked valid) and extend key_valid by each row's written
+            # span. Capacity validation in submit() guarantees active
+            # rows satisfy wp0 + n_steps <= max_len (no DUS clamping).
+            n_wrote = carry["was_active"].sum(axis=1).astype(jnp.int32)
+
+            def wrow(cb, nb, p):    # cb [L, max_len, Hkv, D]
+                return jax.lax.dynamic_update_slice(cb, nb, (0, p, 0, 0))
+            wvmap = jax.vmap(wrow, in_axes=(1, 1, 0), out_axes=1)
+            iota_mx = jax.lax.broadcasted_iota(
+                jnp.int32, (B, max_len), 1)
+            new_state = {
+                "k": wvmap(k0, carry["blk_k"], wp0),
+                "v": wvmap(v0, carry["blk_v"], wp0),
+                "key_valid": jnp.logical_or(
+                    state["key_valid"],
+                    (iota_mx >= wp0[:, None])
+                    & (iota_mx < (wp0 + n_wrote)[:, None])),
+                "write_pos": wp0 + n_wrote,
+                "rope_pos": carry["rope_pos"],
+                "cur_tok": carry["cur_tok"],
+                "active": carry["active"],
+                "n_gen": carry["n_gen"],
+                "max_gen": carry["max_gen"],
+            }
+            return new_state, toks.T, mask.T     # [B, n_steps]
 
         self._decode_fn = jax.jit(run, donate_argnums=(1,))
         return self._decode_fn
@@ -258,12 +321,14 @@ class ContinuousBatchingEngine:
 
     def capacity_for(self, prompt_len: int) -> int:
         """Decode-token budget left in a cache row for a prompt of the
-        given length (after prompt bucketing); <= 0 means it won't fit."""
+        given length (after prompt bucketing); <= 0 means it won't fit.
+        block_steps of headroom keeps the block-end buffer scatter of an
+        active row inside the cache (no DUS clamping)."""
         if prompt_len > self.max_prompt:
             return 0
         bucket = min(_round_up(prompt_len, self.prompt_bucket),
                      self.max_prompt)
-        return self.max_len - bucket
+        return self.max_len - bucket - self.block_steps
 
     def submit(self, input_ids, *, images=None, embeds_cmp_mask=None,
                ids_cmp_mask=None, patch_positions=None,
@@ -274,11 +339,11 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"prompt of {Sp} tokens exceeds max_prompt="
                 f"{self.max_prompt}")
-        if bucket + max_new_tokens > self.max_len:
+        if bucket + max_new_tokens + self.block_steps > self.max_len:
             raise ValueError(
                 f"request cannot fit in a cache row: bucket {bucket} + "
-                f"max_new_tokens {max_new_tokens} > max_len "
-                f"{self.max_len}")
+                f"max_new_tokens {max_new_tokens} + block_steps "
+                f"{self.block_steps} > max_len {self.max_len}")
         self._uid += 1
         req = Request(self._uid, np.asarray(input_ids, np.int32),
                       images=images, embeds_cmp_mask=embeds_cmp_mask,

@@ -78,8 +78,8 @@ def test_capacity_validation():
         model, lm_cfg, params, num_slots=2, max_len=32, block_steps=2,
         prompt_bucket=8, max_prompt=16, eos_token_id=-1,
         cache_dtype=jnp.float32)
-    assert eng.capacity_for(5) == 24          # bucket 8
-    assert eng.capacity_for(9) == 16          # bucket 16
+    assert eng.capacity_for(5) == 22          # bucket 8 + block 2
+    assert eng.capacity_for(9) == 14          # bucket 16 + block 2
     assert eng.capacity_for(17) == 0          # over max_prompt
     with pytest.raises(ValueError):           # prompt too long
         eng.submit(list(range(3, 20)), max_new_tokens=4)
