@@ -114,6 +114,7 @@ class ContinuousBatchingEngine:
         self._uid = 0
         self._prefill_cache: Dict[Any, Any] = {}
         self._decode_fn = None
+        self._result = None   # previous block's (toks, mask, active, slots)
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -391,27 +392,48 @@ class ContinuousBatchingEngine:
                 self._slot_req[slot] = req
 
     def step(self) -> bool:
-        """One engine tick: admit pending requests, run a decode block,
-        distribute emitted tokens. Returns True if work remains."""
+        """One engine tick, PIPELINED: admit pending requests, dispatch
+        the next decode block (async — JAX returns futures), then
+        distribute the PREVIOUS block's emissions. Fetching block N's
+        tokens overlaps block N+1's device execution, hiding the
+        host<->device round trip (~1ms/step at block_steps=32 over the
+        axon tunnel). Slot bookkeeping references the slot->request
+        snapshot taken at each block's dispatch; a slot freed by block
+        N's results is re-admitted at the tick after next, and the
+        `is req` guard keeps a stale snapshot from clearing a slot that
+        was already re-assigned. Returns True if work remains."""
         self._admit()
-        if not any(r is not None for r in self._slot_req):
-            return bool(self._pending)
-        decode = self._get_decode()
-        self.state, toks, mask = decode(self.params, self.state)
-        toks = np.asarray(toks)
-        mask = np.asarray(mask)
-        active = np.asarray(self.state["active"])
-        for slot, req in enumerate(self._slot_req):
-            if req is None:
-                continue
-            for t, m in zip(toks[slot], mask[slot]):
-                if m:
-                    req.tokens.append(int(t))
-            if not active[slot]:
-                req.done = True
-                self._slot_req[slot] = None
+        if any(r is not None for r in self._slot_req):
+            decode = self._get_decode()
+            self.state, toks, mask = decode(self.params, self.state)
+            result = (toks, mask, list(self._slot_req))
+        else:
+            result = None
+        prev, self._result = self._result, result
+        if prev is not None:
+            # toks/mask are block outputs (fresh buffers), safe to read
+            # after the next dispatch donated the state. Doneness is
+            # derived host-side — eos emitted or token budget reached —
+            # mirroring the in-graph done_now exactly (the state's
+            # "active" buffer was donated away with the dispatch).
+            toks, mask, slots = prev
+            toks, mask = np.asarray(toks), np.asarray(mask)
+            for slot, req in enumerate(slots):
+                if req is None:
+                    continue
+                finished = False
+                for t, m in zip(toks[slot], mask[slot]):
+                    if m:
+                        req.tokens.append(int(t))
+                        if int(t) == self.eos:
+                            finished = True
+                if finished or len(req.tokens) >= req.max_new_tokens:
+                    req.done = True
+                    if self._slot_req[slot] is req:
+                        self._slot_req[slot] = None
         return bool(self._pending) or \
-            any(r is not None for r in self._slot_req)
+            any(r is not None for r in self._slot_req) or \
+            self._result is not None
 
     def run_until_idle(self, max_ticks: int = 10_000):
         ticks = 0
