@@ -82,7 +82,8 @@ class ContinuousBatchingEngine:
                  max_prompt: Optional[int] = None,
                  eos_token_id: int = -1,
                  pad_token_id: int = 0,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 mesh=None):
         self.model = model
         self.cfg = lm_config
         self.params = params
@@ -109,6 +110,24 @@ class ContinuousBatchingEngine:
             "n_gen": jnp.zeros((num_slots,), jnp.int32),
             "max_gen": jnp.zeros((num_slots,), jnp.int32),
         }
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor-parallel serving: params sharded by the GSPMD rules
+            # (attention heads / MLP hidden on the `tensor` axis), the
+            # KV cache sharded on its Hkv axis, scalars-per-slot
+            # replicated. GSPMD inserts the collectives; prefill/decode
+            # jits below consume the shardings by propagation.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mllm_npu_tpu.parallel.sharding import shard_params
+            self.params = shard_params(self.params, mesh)
+            kv_spec = NamedSharding(mesh, P(None, None, None, "tensor",
+                                            None))
+            rep = NamedSharding(mesh, P())
+            self.state = {
+                kk: jax.device_put(
+                    vv, kv_spec if kk in ("k", "v") else rep)
+                for kk, vv in self.state.items()}
         self._slot_req: List[Optional[Request]] = [None] * num_slots
         self._pending: deque[Request] = deque()
         self._uid = 0

@@ -183,7 +183,7 @@ class BatchedInferenceEngine(InferenceEngine):
 
     def __init__(self, *, num_slots: int = 8, max_len: int = 2048,
                  max_prompt: int = 1024, block_steps: int = 16,
-                 batch_prompt_bucket: int = 128, **kw):
+                 batch_prompt_bucket: int = 128, mesh=None, **kw):
         super().__init__(**kw)
         import threading
 
@@ -198,7 +198,7 @@ class BatchedInferenceEngine(InferenceEngine):
             max_prompt=max_prompt,
             eos_token_id=gen.sampling.eos_token_id,
             pad_token_id=gen.sampling.pad_token_id,
-            cache_dtype=gen.cache_dtype)
+            cache_dtype=gen.cache_dtype, mesh=mesh)
         self._cv = threading.Condition()
         self._inflight: dict = {}          # uid -> (Request, Event)
         self._engine_error: Optional[BaseException] = None

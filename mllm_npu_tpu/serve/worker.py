@@ -152,7 +152,8 @@ def load_engine_from_config(model_config_path: str,
                             generation_config_path: str = None,
                             batched: bool = False,
                             num_slots: int = 8,
-                            max_len: int = 2048):
+                            max_len: int = 2048,
+                            tensor_parallel: int = 1):
     """Build the InferenceEngine from a model YAML (the worker-side
     analogue of reference worker.py:65-109's model stack load)."""
     import jax
@@ -192,9 +193,15 @@ def load_engine_from_config(model_config_path: str,
         max_new_tokens=max_new_tokens)
     if batched:
         from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+        mesh = None
+        if tensor_parallel > 1:
+            from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+            mesh = build_mesh(
+                MeshConfig(data=1, fsdp=1, tensor=tensor_parallel),
+                devices=jax.devices()[:tensor_parallel])
         return BatchedInferenceEngine(
             num_slots=num_slots, max_len=max_len,
-            max_prompt=max_len // 2, **common)
+            max_prompt=max_len // 2, mesh=mesh, **common)
     return InferenceEngine(**common)
 
 
@@ -216,12 +223,16 @@ def main():
                              "concurrent requests share one KV cache")
     parser.add_argument("--num-slots", type=int, default=8)
     parser.add_argument("--max-cache-len", type=int, default=2048)
+    parser.add_argument("--tensor-parallel", type=int, default=1,
+                        help="shard the batched engine over N chips "
+                             "(GSPMD tensor axis)")
     args = parser.parse_args()
     build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
     engine = load_engine_from_config(
         args.model_config, generation_config_path=args.generation_config,
         batched=args.batched, num_slots=args.num_slots,
-        max_len=args.max_cache_len)
+        max_len=args.max_cache_len,
+        tensor_parallel=args.tensor_parallel)
     if args.batched:
         args.limit_model_concurrency = max(
             args.limit_model_concurrency, args.num_slots)

@@ -68,6 +68,30 @@ def test_slot_recycling_more_requests_than_slots():
         assert req.done and req.tokens == exp
 
 
+def test_mesh_sharded_engine_parity():
+    """Tensor-parallel serving: the engine over a (data=1, fsdp=1,
+    tensor=2) mesh — params sharded on attention heads / MLP hidden,
+    KV cache sharded on Hkv — produces the same greedy tokens as the
+    single-device engine."""
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+
+    model, lm_cfg, params = _stack()
+    prompts = [[3, 17, 42, 9], [5, 1, 88, 200, 14, 3]]
+    T = 6
+    expected = [_reference_tokens(model, lm_cfg, params, p, T)
+                for p in prompts]
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                      devices=jax.devices()[:2])
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=3,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        mesh=mesh)
+    reqs = [eng.submit(p, max_new_tokens=T) for p in prompts]
+    eng.run_until_idle()
+    for req, exp in zip(reqs, expected):
+        assert req.done and req.tokens == exp, (req.tokens, exp)
+
+
 def test_capacity_validation():
     """submit() rejects requests that cannot fit a cache row (per-row
     write positions: a row holds prompt bucket + generated tokens)."""
