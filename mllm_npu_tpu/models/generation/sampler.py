@@ -122,6 +122,15 @@ def decode_loop(step_fn: Callable, cache: Any, first_token: jax.Array,
     step_fn(token [B,1], cache) -> (logits [B,V], hidden [B,D], cache).
     Returns (tokens [B, T], hiddens [B, T, D], done_mask).
     first_token/first_hidden come from the prefill step.
+
+    Design note: a chunked variant (blocks of 16 steps with deferred
+    cache writes, mirroring the ContinuousBatchingEngine's block
+    decode) was measured on v5e at the 500m single-request config and
+    LOST slightly (657 vs 682 tok/s bf16, 828 vs 837 int8): unlike a
+    ``lax.scan`` ys-restack, the while_loop carry already updates the
+    cache in place, so the block buffer only adds attention/concat
+    overhead. Keep the per-token loop here; the batched engine is where
+    deferred writes pay (its cache is carried through a scan).
     """
     B = first_token.shape[0]
     T = cfg.max_new_tokens
