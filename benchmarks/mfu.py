@@ -60,6 +60,8 @@ def main():
                    choices=["nothing", "dots", "dots_no_batch"])
     p.add_argument("--mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace of one step here")
     args = p.parse_args()
 
     import jax
@@ -174,6 +176,9 @@ def main():
 
     # warm compile
     _, state = run_n(1, state)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            _, state = run_n(1, state)
     n1, n2 = args.steps
     t1, state = run_n(n1, state)
     t2, state = run_n(n2, state)

@@ -107,7 +107,8 @@ def _sample(logits: jax.Array, rng: jax.Array, cfg: SamplingConfig
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     cutoff_mask = cum - probs > cfg.top_p
-    cutoff_val = jnp.where(cutoff_mask, -jnp.inf,
+    # min over the KEPT entries → mask the cut ones with +inf
+    cutoff_val = jnp.where(cutoff_mask, jnp.inf,
                            sorted_logits).min(axis=-1, keepdims=True)
     filtered = jnp.where(logits < cutoff_val, NEG_INF, logits)
     return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)

@@ -64,15 +64,43 @@ class Request:
     ids_cmp_mask: Optional[np.ndarray] = None
     patch_positions: Optional[jnp.ndarray] = None
     max_new_tokens: int = 128
+    # per-request sampling (engine must be built with
+    # enable_sampling=True for do_sample requests)
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    seed: int = 0
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
+def _sample_rows(logits, rngs, temperature, top_p, do_sample):
+    """Per-row temperature + top-p nucleus sampling, branchless mix
+    with greedy rows (per-slot sampling params in one decode batch).
+    logits [B,V] f32; rngs [B] PRNG keys; temperature/top_p [B] f32;
+    do_sample [B] bool."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_p[:, None]
+    cutoff_val = jnp.where(cutoff_mask, jnp.inf,
+                           sorted_logits).min(axis=-1, keepdims=True)
+    filtered = jnp.where(scaled < cutoff_val, -1e30, scaled)
+    sampled = jax.vmap(jax.random.categorical)(rngs, filtered) \
+        .astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
 class ContinuousBatchingEngine:
     """Slot-based continuous batching over a GeneralizedMultimodalModel
-    (or SEED) + Llama stack. Greedy decoding (the reference's serving
-    parity mode, mllm.py:169-175)."""
+    (or SEED) + Llama stack. Greedy decoding by default (the
+    reference's serving parity mode, mllm.py:169-175); with
+    ``enable_sampling=True`` each request carries its own
+    temperature/top-p/seed and sampling rows mix with greedy rows in
+    the same decode batch (per-slot RNG streams in the engine state)."""
 
     def __init__(self, model, lm_config, params, *,
                  num_slots: int = 8,
@@ -83,9 +111,13 @@ class ContinuousBatchingEngine:
                  eos_token_id: int = -1,
                  pad_token_id: int = 0,
                  cache_dtype=jnp.bfloat16,
-                 mesh=None):
+                 mesh=None,
+                 enable_sampling: bool = False):
         self.model = model
         self.cfg = lm_config
+        # trace-time gate: the per-row top-p sort over the vocab is only
+        # compiled into prefill/decode when sampling is enabled
+        self.enable_sampling = enable_sampling
         self.params = params
         self.B = num_slots
         self.max_len = max_len
@@ -110,6 +142,13 @@ class ContinuousBatchingEngine:
             "n_gen": jnp.zeros((num_slots,), jnp.int32),
             "max_gen": jnp.zeros((num_slots,), jnp.int32),
         }
+        if enable_sampling:
+            self.state.update({
+                "rng": jax.random.split(jax.random.PRNGKey(0), num_slots),
+                "temp": jnp.ones((num_slots,), jnp.float32),
+                "top_p": jnp.ones((num_slots,), jnp.float32),
+                "do_sample": jnp.zeros((num_slots,), bool),
+            })
         self.mesh = mesh
         if mesh is not None:
             # tensor-parallel serving: params sharded by the GSPMD rules
@@ -158,7 +197,8 @@ class ContinuousBatchingEngine:
         cfg = self.cfg
 
         def run(params, input_ids, prompt_mask, images, embeds_cmp_mask,
-                ids_cmp_mask, patch_positions):
+                ids_cmp_mask, patch_positions, temp, top_p, do_sample,
+                rng):
             from mllm_npu_tpu.ops import SegmentIds
             if has_images:
                 embeds, _ = self.model.apply(
@@ -179,9 +219,14 @@ class ContinuousBatchingEngine:
                 inputs_embeds=embeds)
             idx_last = (row_len - 1)[:, None]
             last = jnp.take_along_axis(
-                logits, idx_last[:, :, None], axis=1)[:, 0]
-            first_tok = jnp.argmax(
-                last.astype(jnp.float32), axis=-1).astype(jnp.int32)
+                logits, idx_last[:, :, None], axis=1)[:, 0] \
+                .astype(jnp.float32)
+            if self.enable_sampling:
+                first_tok = _sample_rows(
+                    last, rng[None], temp[None], top_p[None],
+                    do_sample[None])
+            else:
+                first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
             return first_tok[0], cache["k"], cache["v"], row_len[0]
 
         fn = jax.jit(run)
@@ -196,7 +241,7 @@ class ContinuousBatchingEngine:
         max_len = self.max_len
 
         def run(state, slot, kv_k, kv_v, prompt_mask, first_tok, row_len,
-                max_new):
+                max_new, temp, top_p, do_sample, rng):
             # kv_k: [L, 1, bucket, Hkv, D] -> write into slot at offset 0
             L = kv_k.shape[0]
             k = jax.lax.dynamic_update_slice(
@@ -212,7 +257,7 @@ class ContinuousBatchingEngine:
                 state["key_valid"], row_valid[None], (slot, 0))
             done0 = first_tok == self.eos
             upd = lambda a, x: a.at[slot].set(x)
-            return {
+            new = {
                 "k": k, "v": v, "key_valid": key_valid,
                 "write_pos": upd(state["write_pos"], bucket),
                 "rope_pos": upd(state["rope_pos"], row_len),
@@ -222,6 +267,14 @@ class ContinuousBatchingEngine:
                 "n_gen": upd(state["n_gen"], 1),
                 "max_gen": upd(state["max_gen"], max_new),
             }
+            if self.enable_sampling:
+                new.update({
+                    "rng": upd(state["rng"], rng),
+                    "temp": upd(state["temp"], temp),
+                    "top_p": upd(state["top_p"], top_p),
+                    "do_sample": upd(state["do_sample"], do_sample),
+                })
+            return new
 
         fn = jax.jit(run, donate_argnums=(0,))
         self._prefill_cache[key] = fn
@@ -259,6 +312,8 @@ class ContinuousBatchingEngine:
                 "n_gen": state["n_gen"],
                 "max_gen": state["max_gen"],
             }
+            if self.enable_sampling:
+                carry["rng"] = state["rng"]
 
             def body(st, i):
                 act = st["active"]
@@ -281,8 +336,15 @@ class ContinuousBatchingEngine:
                     (jax.lax.broadcasted_iota(
                         jnp.int32, (1, n_steps), 1) == i)
                     & act[:, None])
-                nxt = jnp.argmax(
-                    logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+                last = logits[:, -1].astype(jnp.float32)
+                if self.enable_sampling:
+                    keys = jax.vmap(
+                        lambda kk: jax.random.split(kk, 2))(st["rng"])
+                    nxt = _sample_rows(last, keys[:, 0], state["temp"],
+                                       state["top_p"],
+                                       state["do_sample"])
+                else:
+                    nxt = jnp.argmax(last, -1).astype(jnp.int32)
                 nxt = jnp.where(act, nxt, pad)
                 n_gen = st["n_gen"] + act.astype(jnp.int32)
                 done_now = jnp.logical_or(nxt == eos,
@@ -297,6 +359,8 @@ class ContinuousBatchingEngine:
                     "n_gen": n_gen,
                     "max_gen": st["max_gen"],
                 }
+                if self.enable_sampling:
+                    st["rng"] = keys[:, 1]
                 # emit: the sampled token for rows active at step entry
                 emitted = jnp.where(act, nxt, pad)
                 return st, (emitted, act)
@@ -330,6 +394,11 @@ class ContinuousBatchingEngine:
                 "n_gen": carry["n_gen"],
                 "max_gen": carry["max_gen"],
             }
+            if self.enable_sampling:
+                new_state.update({
+                    "rng": carry["rng"], "temp": state["temp"],
+                    "top_p": state["top_p"],
+                    "do_sample": state["do_sample"]})
             return new_state, toks.T, mask.T     # [B, n_steps]
 
         self._decode_fn = jax.jit(run, donate_argnums=(1,))
@@ -352,7 +421,13 @@ class ContinuousBatchingEngine:
 
     def submit(self, input_ids, *, images=None, embeds_cmp_mask=None,
                ids_cmp_mask=None, patch_positions=None,
-               max_new_tokens: int = 128) -> Request:
+               max_new_tokens: int = 128,
+               do_sample: bool = False, temperature: float = 1.0,
+               top_p: float = 1.0, seed: int = 0) -> Request:
+        if do_sample and not self.enable_sampling:
+            raise ValueError(
+                "do_sample request on a greedy engine — construct the "
+                "engine with enable_sampling=True")
         Sp = len(input_ids)
         bucket = min(_round_up(Sp, self.prompt_bucket), self.max_prompt)
         if Sp > bucket:
@@ -369,7 +444,9 @@ class ContinuousBatchingEngine:
                       images=images, embeds_cmp_mask=embeds_cmp_mask,
                       ids_cmp_mask=ids_cmp_mask,
                       patch_positions=patch_positions,
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens,
+                      do_sample=do_sample, temperature=temperature,
+                      top_p=top_p, seed=seed)
         self._pending.append(req)
         return req
 
@@ -394,14 +471,20 @@ class ContinuousBatchingEngine:
                 icm[0, :Sp] = req.ids_cmp_mask
                 icm = jnp.asarray(icm)
             prefill = self._get_prefill(bucket, has_images, n_img)
+            rng = jax.random.fold_in(jax.random.PRNGKey(req.seed),
+                                     req.uid)
+            temp = jnp.asarray(req.temperature, jnp.float32)
+            top_p = jnp.asarray(req.top_p, jnp.float32)
+            do_sample = jnp.asarray(req.do_sample)
             first_tok, kv_k, kv_v, row_len = prefill(
                 self.params, jnp.asarray(ids), jnp.asarray(pm),
                 req.images, req.embeds_cmp_mask, icm,
-                req.patch_positions)
+                req.patch_positions, temp, top_p, do_sample, rng)
             insert = self._get_insert(bucket)
             self.state = insert(self.state, slot, kv_k, kv_v,
                                 jnp.asarray(pm), first_tok, row_len,
-                                req.max_new_tokens)
+                                req.max_new_tokens, temp, top_p,
+                                do_sample, rng)
             tok0 = int(first_tok)
             req.tokens.append(tok0)
             if tok0 == self.eos or req.max_new_tokens <= 1:

@@ -92,6 +92,74 @@ def test_mesh_sharded_engine_parity():
         assert req.done and req.tokens == exp, (req.tokens, exp)
 
 
+def test_per_request_sampling():
+    """enable_sampling: greedy and sampling requests share one decode
+    batch — greedy rows keep exact parity with the reference decode,
+    sampling rows are seed-deterministic, and near-zero temperature
+    sampling collapses to greedy."""
+    import pytest
+
+    model, lm_cfg, params = _stack()
+    pg = [3, 17, 42, 9]
+    T = 8
+    greedy_exp = _reference_tokens(model, lm_cfg, params, pg, T)
+
+    def make():
+        return ContinuousBatchingEngine(
+            model, lm_cfg, params, num_slots=4, max_len=64,
+            block_steps=3, prompt_bucket=8, eos_token_id=-1,
+            cache_dtype=jnp.float32, enable_sampling=True)
+
+    eng = make()
+    r_greedy = eng.submit(pg, max_new_tokens=T)
+    r_s1 = eng.submit([5, 1, 88], max_new_tokens=T, do_sample=True,
+                      temperature=0.9, top_p=0.9, seed=7)
+    r_cold = eng.submit([250, 4, 4], max_new_tokens=T, do_sample=True,
+                        temperature=1e-4, top_p=1.0, seed=3)
+    eng.run_until_idle()
+    assert r_greedy.tokens == greedy_exp          # mixed batch: exact
+    cold_exp = _reference_tokens(model, lm_cfg, params, [250, 4, 4], T)
+    assert r_cold.tokens == cold_exp              # T→0 ⇒ greedy
+
+    # same seed ⇒ same sample stream (fresh engine, same uid ordering)
+    eng2 = make()
+    eng2.submit(pg, max_new_tokens=T)
+    r_s2 = eng2.submit([5, 1, 88], max_new_tokens=T, do_sample=True,
+                       temperature=0.9, top_p=0.9, seed=7)
+    eng2.submit([250, 4, 4], max_new_tokens=T, do_sample=True,
+                temperature=1e-4, top_p=1.0, seed=3)
+    eng2.run_until_idle()
+    assert r_s1.tokens == r_s2.tokens
+
+    # greedy engines reject sampling requests
+    geng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=3,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        geng.submit([3, 4], max_new_tokens=4, do_sample=True)
+
+
+def test_top_p_cutoff_filters():
+    """Regression for the top-p cutoff bug (min over kept entries used
+    -inf masking, making nucleus filtering a no-op): with a tiny top_p
+    only the argmax token survives, so sampling at high temperature
+    must still return it."""
+    from mllm_npu_tpu.models.generation.sampler import (SamplingConfig,
+                                                        _sample)
+    logits = jnp.log(jnp.asarray(
+        [[0.50, 0.30, 0.15, 0.05]], jnp.float32))
+    cfg = SamplingConfig(do_sample=True, temperature=5.0, top_p=0.01)
+    for i in range(8):
+        tok = _sample(logits, jax.random.PRNGKey(i), cfg)
+        assert int(tok[0]) == 0
+    # top_p=0.5 at T=5 keeps exactly the top two tokens (flattened
+    # probs ≈ .30/.27/.23/.19; cum−p crosses 0.5 at the third)
+    cfg = SamplingConfig(do_sample=True, temperature=5.0, top_p=0.5)
+    toks = {int(_sample(logits, jax.random.PRNGKey(i), cfg)[0])
+            for i in range(64)}
+    assert toks == {0, 1}, toks
+
+
 def test_capacity_validation():
     """submit() rejects requests that cannot fit a cache row (per-row
     write positions: a row holds prompt bucket + generated tokens)."""
