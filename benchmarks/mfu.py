@@ -62,6 +62,9 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace of one step here")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable gradient checkpointing (measures the "
+                        "remat recompute cost when activations fit)")
     args = p.parse_args()
 
     import jax
@@ -83,7 +86,8 @@ def main():
                                                 shard_train_state)
 
     if args.preset == "tiny":
-        lm_cfg = LlamaConfig.tiny(attention_impl="auto", remat=True)
+        lm_cfg = LlamaConfig.tiny(attention_impl="auto",
+                                  remat=not args.no_remat)
         vis_cfg = SigLIPConfig.tiny()
         nq, heads = 4, 4
     elif args.preset == "500m":
@@ -92,7 +96,7 @@ def main():
             vocab_size=32000, hidden_size=1536, intermediate_size=4096,
             num_hidden_layers=16, num_attention_heads=16,
             num_key_value_heads=8, max_position_embeddings=4096,
-            attention_impl="auto", remat=True,
+            attention_impl="auto", remat=not args.no_remat,
             remat_policy=args.remat_policy)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 16
@@ -101,11 +105,14 @@ def main():
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
             num_hidden_layers=22, num_attention_heads=16,
             num_key_value_heads=8, max_position_embeddings=4096,
-            attention_impl="auto", remat=True)
+            attention_impl="auto", remat=not args.no_remat,
+            remat_policy=args.remat_policy)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 16
     else:  # 8b
-        lm_cfg = LlamaConfig.llama3_8b(attention_impl="auto", remat=True)
+        lm_cfg = LlamaConfig.llama3_8b(attention_impl="auto",
+                                       remat=not args.no_remat,
+                                       remat_policy=args.remat_policy)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
 
