@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["tiny", "500m"], default="500m")
+    p.add_argument("--preset", choices=["tiny", "500m", "8b"],
+               default="500m")
     p.add_argument("--runs", type=int, default=20)
     p.add_argument("--prompt_tokens", type=int, default=512)
     p.add_argument("--patches", type=int, default=5)
@@ -51,6 +52,16 @@ def main():
         lm_cfg = LlamaConfig.tiny()
         vis_cfg = SigLIPConfig.tiny()
         nq, heads = 4, 4
+    elif args.preset == "8b":
+        # Llama-3-8B on one 16GB v5e: int8 weights are REQUIRED (bf16
+        # alone is 16GB); the model is built quantized from the start so
+        # init allocates int8 kernels directly (a float init + convert
+        # would OOM). --fused likewise folds into the initial config.
+        assert args.int8, "8B on a 16GB chip requires --int8"
+        lm_cfg = LlamaConfig.llama3_8b(
+            quantization="int8", fused_projections=args.fused)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 32
     else:
         lm_cfg = LlamaConfig(
             vocab_size=32000, hidden_size=1536, intermediate_size=4096,
@@ -92,7 +103,7 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params)
-    if args.fused:
+    if args.fused and args.preset != "8b":
         import dataclasses
         from mllm_npu_tpu.utils.weights import fuse_llama_projections
         lm_cfg = dataclasses.replace(lm_cfg, fused_projections=True)
@@ -101,7 +112,7 @@ def main():
         pp = dict(params["params"])
         pp["language_model"] = fuse_llama_projections(pp["language_model"])
         params = {"params": pp}
-    if args.int8:
+    if args.int8 and args.preset != "8b":
         import dataclasses
         from mllm_npu_tpu.utils.weights import quantize_llama_params
         lm_cfg = dataclasses.replace(lm_cfg, quantization="int8")
