@@ -58,8 +58,14 @@ def main():
         # init allocates int8 kernels directly (a float init + convert
         # would OOM). --fused likewise folds into the initial config.
         assert args.int8, "8B on a 16GB chip requires --int8"
+        # scan_layers=False: nn.scan's per-layer weight slicing
+        # materializes a full copy of each int8 kernel every decode
+        # step (pallas operands can't fuse a dynamic-slice the way XLA
+        # dots do) — profiled at ~9ms/token of pure copy at 8B.
+        # Unrolled layers feed the kernels straight from HBM.
         lm_cfg = LlamaConfig.llama3_8b(
-            quantization="int8", fused_projections=args.fused)
+            quantization="int8", fused_projections=args.fused,
+            scan_layers=False)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
     else:

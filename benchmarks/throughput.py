@@ -33,6 +33,9 @@ def main():
     p.add_argument("--block_steps", type=int, default=32)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--fused", action="store_true")
+    p.add_argument("--unroll", action="store_true",
+                   help="per-layer params (scan_layers=False): int8 "
+                        "kernels read weights without scan-slice copies")
     args = p.parse_args()
 
     import jax
@@ -98,6 +101,15 @@ def main():
             lm_cfg, dtype=jnp.bfloat16))
         pp = dict(params["params"])
         pp["language_model"] = quantize_llama_params(pp["language_model"])
+        params = {"params": pp}
+    if args.unroll:
+        import dataclasses
+        from mllm_npu_tpu.utils.weights import unstack_llama_params
+        lm_cfg = dataclasses.replace(lm_cfg, scan_layers=False)
+        model = model.clone(language_model=LlamaForCausalLM(
+            lm_cfg, dtype=jnp.bfloat16))
+        pp = dict(params["params"])
+        pp["language_model"] = unstack_llama_params(pp["language_model"])
         params = {"params": pp}
 
     # One engine; time blocks 2..N of a continuous run (slope past the

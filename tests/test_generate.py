@@ -133,3 +133,34 @@ def test_padded_batch_matches_individual_generation():
         jnp.asarray([b], jnp.int32))["generate_ids"][0])
     np.testing.assert_array_equal(got[0], solo_a)
     np.testing.assert_array_equal(got[1], solo_b)
+
+
+def test_unrolled_layers_match_scan():
+    """unroll_layers=True (per-layer params, scan_layers=False — the
+    int8 serving layout) is token-for-token identical to the scan
+    model, composed with fused projections + int8 quantization."""
+    spec = TinySpec(batch=1, seq=32)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    prompt = jnp.asarray([[3, 17, 42, 9, 100]], jnp.int32)
+    cfg = SamplingConfig(max_new_tokens=8, do_sample=False,
+                         eos_token_id=-1)
+
+    base = MLLMGenerator(model, lm_cfg, params, sampling=cfg,
+                         cache_dtype=jnp.float32)
+    ref = np.asarray(base.generate(prompt)["generate_ids"][0])
+
+    unrolled = MLLMGenerator(model, lm_cfg, params, sampling=cfg,
+                             cache_dtype=jnp.float32,
+                             unroll_layers=True)
+    got = np.asarray(unrolled.generate(prompt)["generate_ids"][0])
+    np.testing.assert_array_equal(got, ref)
+
+    # int8 + fused + unrolled compose (the 8B serving stack); int8
+    # changes numerics so just require a successful full decode
+    q = MLLMGenerator(model, lm_cfg, params, sampling=cfg,
+                      cache_dtype=jnp.float32, quantize_int8=True,
+                      fuse_projections=True, unroll_layers=True)
+    out = np.asarray(q.generate(prompt)["generate_ids"][0])
+    assert out.shape == ref.shape
