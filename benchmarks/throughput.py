@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["tiny", "500m"], default="500m")
+    p.add_argument("--preset", choices=["tiny", "500m", "8b"],
+               default="500m")
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--prompt_tokens", type=int, default=128)
     p.add_argument("--max_len", type=int, default=512)
@@ -55,6 +56,15 @@ def main():
         lm_cfg = LlamaConfig.tiny()
         vis_cfg = SigLIPConfig.tiny()
         nq, heads = 4, 4
+    elif args.preset == "8b":
+        # flagship on one 16GB v5e: int8 + unrolled layers required
+        # (see benchmarks/latency.py 8b preset for the rationale)
+        assert args.int8 and args.unroll, "8B needs --int8 --unroll"
+        lm_cfg = LlamaConfig.llama3_8b(
+            quantization="int8", fused_projections=args.fused,
+            scan_layers=False)
+        vis_cfg = SigLIPConfig.so400m_384()
+        nq, heads = 64, 32
     else:
         lm_cfg = LlamaConfig(
             vocab_size=32000, hidden_size=1536, intermediate_size=4096,
@@ -84,7 +94,7 @@ def main():
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    if args.fused:
+    if args.fused and args.preset != "8b":
         import dataclasses
         from mllm_npu_tpu.utils.weights import fuse_llama_projections
         lm_cfg = dataclasses.replace(lm_cfg, fused_projections=True)
@@ -93,7 +103,7 @@ def main():
         pp = dict(params["params"])
         pp["language_model"] = fuse_llama_projections(pp["language_model"])
         params = {"params": pp}
-    if args.int8:
+    if args.int8 and args.preset != "8b":
         import dataclasses
         from mllm_npu_tpu.utils.weights import quantize_llama_params
         lm_cfg = dataclasses.replace(lm_cfg, quantization="int8")
@@ -102,7 +112,7 @@ def main():
         pp = dict(params["params"])
         pp["language_model"] = quantize_llama_params(pp["language_model"])
         params = {"params": pp}
-    if args.unroll:
+    if args.unroll and args.preset != "8b":
         import dataclasses
         from mllm_npu_tpu.utils.weights import unstack_llama_params
         lm_cfg = dataclasses.replace(lm_cfg, scan_layers=False)
