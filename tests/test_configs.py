@@ -95,3 +95,18 @@ def test_reference_seedx_yaml_translates():
     assert mllm.module.vit_down and mllm.module.mse
     assert mllm.module.output_projector is not None
     assert llm.config.lora_rank == 32
+
+
+def test_launch_scripts_are_valid_bash():
+    """bash -n over every launch script (the reference ships these as
+    the user-facing entry points, scripts/*.sh)."""
+    import subprocess
+    from pathlib import Path
+
+    scripts = sorted((Path(__file__).resolve().parents[1] / "scripts")
+                     .glob("*.sh"))
+    assert scripts, "no launch scripts found"
+    for sh in scripts:
+        r = subprocess.run(["bash", "-n", str(sh)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, (sh, r.stderr)

@@ -197,3 +197,30 @@ def test_caption_pipeline_packing(tmp_path):
     # per-image spans still line up with image slots
     n_imgs = int(b["embeds_cmp_mask"].sum())
     assert int(b["ids_cmp_mask"].sum()) == 8 * n_imgs
+
+
+def test_wds_authoring_roundtrip(tmp_path):
+    """make_wds_shards (reference process_wds.py make_wds_shards) writes
+    tar shards that the framework's own tar reader streams back intact."""
+    from mllm_npu_tpu.data.process_wds import make_wds_shards
+    from mllm_npu_tpu.data.streams import (group_webdataset,
+                                           iter_tar_members)
+
+    samples = [{"__key__": f"{i:05d}",
+                "txt": f"caption number {i}",
+                "json": {"idx": i},
+                "jpg": bytes([i % 251]) * 10}
+               for i in range(23)]
+    shards = make_wds_shards(str(tmp_path / "shard-%06d.tar"), 3,
+                             samples, num_workers=1)
+    assert len(shards) == 3
+    import json as _json
+    got = {}
+    for shard in shards:
+        for s in group_webdataset(iter_tar_members(shard)):
+            got[_json.loads(s[".json"].decode())["idx"]] = s
+    assert len(got) == 23
+    for i in (0, 7, 22):
+        s = got[i]
+        assert s[".txt"].decode() == f"caption number {i}"
+        assert s[".jpg"] == bytes([i % 251]) * 10

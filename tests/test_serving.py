@@ -205,3 +205,66 @@ def test_worker_image_gen_end_to_end(monkeypatch):
     import base64 as b64mod
     img_bytes = b64mod.b64decode(msg["image"])
     assert img_bytes[:2] == b"\xff\xd8"   # JPEG magic
+
+
+def test_serve_utils_logger_and_semaphore(tmp_path, monkeypatch):
+    """build_logger writes through a rotating file handler; semaphore
+    pretty-print matches the reference's format (serve_utils.py:14-84)."""
+    import logging
+
+    from mllm_npu_tpu.serve import serve_utils
+
+    monkeypatch.setattr(serve_utils, "handler", None)
+    log = serve_utils.build_logger("t_logger", "t.log",
+                                   log_dir=str(tmp_path))
+    log.info("hello-from-test")
+    for h in logging.getLogger().handlers:
+        h.flush()
+    serve_utils.handler.flush()
+    assert "hello-from-test" in (tmp_path / "t.log").read_text()
+
+    sem = asyncio.Semaphore(3)
+    s = serve_utils.pretty_print_semaphore(sem)
+    assert "value=3" in s and "locked=False" in s
+    assert serve_utils.pretty_print_semaphore(None) == "None"
+
+
+def test_add_special_tokens_tool(tmp_path):
+    """The tokenizer-prep CLI adds the <img_*>/<loc-*>/span/box tokens
+    and saves a loadable tokenizer (reference
+    scripts/tools/add_special_tokens_to_tokenizer.py:1-36)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    # build a minimal WordLevel tokenizer as the "base"
+    try:
+        from tokenizers import Tokenizer, models, pre_tokenizers
+        from transformers import PreTrainedTokenizerFast
+    except Exception:
+        pytest.skip("tokenizers not available")
+    tok = Tokenizer(models.WordLevel({"<unk>": 0, "hello": 1, "x": 2},
+                                     unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    base = PreTrainedTokenizerFast(tokenizer_object=tok,
+                                   unk_token="<unk>")
+    base_dir = tmp_path / "base"
+    base.save_pretrained(str(base_dir))
+
+    out_dir = tmp_path / "out"
+    script = Path(__file__).resolve().parents[1] / "scripts" / "tools" \
+        / "add_special_tokens_to_tokenizer.py"
+    r = subprocess.run(
+        [_sys.executable, str(script), "--base", str(base_dir),
+         "--out", str(out_dir), "--num_img_tokens", "8",
+         "--num_loc_tokens", "4"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    from transformers import AutoTokenizer
+    loaded = AutoTokenizer.from_pretrained(str(out_dir))
+    for t in ("<img>", "</img>", "<patch>", "</patch>", "<img_00000>",
+              "<img_00007>", "<loc-0>", "<loc-3>", "<box_start>",
+              "<box_end>"):
+        ids = loaded.encode(t, add_special_tokens=False)
+        assert len(ids) == 1, (t, ids)
+    assert loaded.pad_token == "<unk>"
