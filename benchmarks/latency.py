@@ -109,24 +109,17 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params)
+    from mllm_npu_tpu.models.generation.generate import rebuild_llm
+    from mllm_npu_tpu.utils.weights import (fuse_llama_projections,
+                                            quantize_llama_params)
     if args.fused and args.preset != "8b":
-        import dataclasses
-        from mllm_npu_tpu.utils.weights import fuse_llama_projections
-        lm_cfg = dataclasses.replace(lm_cfg, fused_projections=True)
-        lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
-        model = model.clone(language_model=lm)
-        pp = dict(params["params"])
-        pp["language_model"] = fuse_llama_projections(pp["language_model"])
-        params = {"params": pp}
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params, fuse_llama_projections,
+            fused_projections=True)
     if args.int8 and args.preset != "8b":
-        import dataclasses
-        from mllm_npu_tpu.utils.weights import quantize_llama_params
-        lm_cfg = dataclasses.replace(lm_cfg, quantization="int8")
-        lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
-        model = model.clone(language_model=lm)
-        pp = dict(params["params"])
-        pp["language_model"] = quantize_llama_params(pp["language_model"])
-        params = {"params": pp}
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params, quantize_llama_params,
+            quantization="int8")
 
     max_len = S + args.decode_tokens
 

@@ -94,33 +94,22 @@ def main():
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    from mllm_npu_tpu.models.generation.generate import rebuild_llm
+    from mllm_npu_tpu.utils.weights import (fuse_llama_projections,
+                                            quantize_llama_params,
+                                            unstack_llama_params)
     if args.fused and args.preset != "8b":
-        import dataclasses
-        from mllm_npu_tpu.utils.weights import fuse_llama_projections
-        lm_cfg = dataclasses.replace(lm_cfg, fused_projections=True)
-        model = model.clone(language_model=LlamaForCausalLM(
-            lm_cfg, dtype=jnp.bfloat16))
-        pp = dict(params["params"])
-        pp["language_model"] = fuse_llama_projections(pp["language_model"])
-        params = {"params": pp}
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params, fuse_llama_projections,
+            fused_projections=True)
     if args.int8 and args.preset != "8b":
-        import dataclasses
-        from mllm_npu_tpu.utils.weights import quantize_llama_params
-        lm_cfg = dataclasses.replace(lm_cfg, quantization="int8")
-        model = model.clone(language_model=LlamaForCausalLM(
-            lm_cfg, dtype=jnp.bfloat16))
-        pp = dict(params["params"])
-        pp["language_model"] = quantize_llama_params(pp["language_model"])
-        params = {"params": pp}
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params, quantize_llama_params,
+            quantization="int8")
     if args.unroll and args.preset != "8b":
-        import dataclasses
-        from mllm_npu_tpu.utils.weights import unstack_llama_params
-        lm_cfg = dataclasses.replace(lm_cfg, scan_layers=False)
-        model = model.clone(language_model=LlamaForCausalLM(
-            lm_cfg, dtype=jnp.bfloat16))
-        pp = dict(params["params"])
-        pp["language_model"] = unstack_llama_params(pp["language_model"])
-        params = {"params": pp}
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params, unstack_llama_params,
+            scan_layers=False)
 
     # One engine; time blocks 2..N of a continuous run (slope past the
     # first timed point cancels prefill + compile + fixed RTT).

@@ -31,6 +31,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def rebuild_llm(model, lm_config, params, transform, **cfg_updates):
+    """Serving-time weight-layout transform: clone the assembly with an
+    updated LlamaConfig and run ``transform`` over the LLM's param
+    subtree (the shared machinery behind fuse / int8-quantize / unroll;
+    also used by the benches). Returns (model, lm_config, params)."""
+    lm_config = dataclasses.replace(lm_config, **cfg_updates)
+    lm = model.language_model
+    model = model.clone(
+        language_model=type(lm)(lm_config, lm.dtype, lm.param_dtype))
+    p = dict(params["params"])
+    p["language_model"] = transform(p["language_model"])
+    params = dict(params)
+    params["params"] = p
+    return model, lm_config, params
+
+
 class MLLMGenerator:
     """Holds jitted prefill/decode closures for one (model, params) pair.
 
@@ -50,21 +66,12 @@ class MLLMGenerator:
         if fuse_projections:
             # one qkv matvec + one gate_up matvec per block: fewer
             # kernel launches in the decode while_loop
-            import dataclasses as _dc
-
             from mllm_npu_tpu.utils.weights import fuse_llama_projections
             assert lm_config.lora_rank == 0, \
                 "merge LoRA adapters before fusing projections"
-            lm_config = _dc.replace(lm_config, fused_projections=True)
-            lm = model.language_model
-            model = model.clone(
-                language_model=type(lm)(lm_config, lm.dtype,
-                                        lm.param_dtype))
-            p = dict(params["params"])
-            p["language_model"] = fuse_llama_projections(
-                p["language_model"])
-            params = dict(params)
-            params["params"] = p
+            model, lm_config, params = rebuild_llm(
+                model, lm_config, params, fuse_llama_projections,
+                fused_projections=True)
         if cast_params_bf16:
             # inference is weight-bandwidth-bound (every decode step
             # streams all weights from HBM); bf16 storage halves it
@@ -76,21 +83,12 @@ class MLLMGenerator:
             # int8 weight-only LLM: halve the weight traffic again
             # (ops/quant.py). Not combinable with a LoRA'd LLM (merge
             # the adapters first).
-            import dataclasses
-
             from mllm_npu_tpu.utils.weights import quantize_llama_params
             assert lm_config.lora_rank == 0, \
                 "merge LoRA adapters before int8 quantization"
-            lm_config = dataclasses.replace(lm_config, quantization="int8")
-            lm = model.language_model
-            model = model.clone(
-                language_model=type(lm)(lm_config, lm.dtype,
-                                        lm.param_dtype))
-            p = dict(params["params"])
-            p["language_model"] = quantize_llama_params(
-                p["language_model"])
-            params = dict(params)
-            params["params"] = p
+            model, lm_config, params = rebuild_llm(
+                model, lm_config, params, quantize_llama_params,
+                quantization="int8")
         if unroll_layers:
             # per-layer params instead of nn.scan's stacked layout:
             # scan slices every layer's weights out of the stacked
@@ -100,19 +98,10 @@ class MLLMGenerator:
             # 63 -> 90 tok/s single-request on one v5e). Use for
             # int8 serving; bf16 XLA dots fuse the slice and don't
             # need it.
-            import dataclasses as _dc
-
             from mllm_npu_tpu.utils.weights import unstack_llama_params
-            lm_config = _dc.replace(lm_config, scan_layers=False)
-            lm = model.language_model
-            model = model.clone(
-                language_model=type(lm)(lm_config, lm.dtype,
-                                        lm.param_dtype))
-            p = dict(params["params"])
-            p["language_model"] = unstack_llama_params(
-                p["language_model"])
-            params = dict(params)
-            params["params"] = p
+            model, lm_config, params = rebuild_llm(
+                model, lm_config, params, unstack_llama_params,
+                scan_layers=False)
         self.model = model
         self.lm_config = lm_config
         self.params = params

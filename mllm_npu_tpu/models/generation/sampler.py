@@ -97,21 +97,39 @@ def apply_image_ladder(logits: jax.Array, last_token: jax.Array,
     return jnp.where(in_ladder[:, None], forced, suppressed)
 
 
+def sample_rows(logits: jax.Array, rngs: jax.Array, temperature: jax.Array,
+                top_p: jax.Array, do_sample: jax.Array) -> jax.Array:
+    """Per-row temperature + top-p nucleus sampling, branchless mix with
+    greedy rows. logits [B, V] f32; rngs [B] PRNG keys; temperature /
+    top_p [B] f32; do_sample [B] bool. The single shared implementation
+    of nucleus sampling — used by SamplingConfig-driven decode and by
+    the batched engine's per-slot sampling (one copy so cutoff fixes
+    can't diverge)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_p[:, None]
+    # min over the KEPT entries → mask the cut ones with +inf
+    cutoff_val = jnp.where(cutoff_mask, jnp.inf,
+                           sorted_logits).min(axis=-1, keepdims=True)
+    filtered = jnp.where(scaled < cutoff_val, NEG_INF, scaled)
+    sampled = jax.vmap(jax.random.categorical)(rngs, filtered) \
+        .astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
 def _sample(logits: jax.Array, rng: jax.Array, cfg: SamplingConfig
             ) -> jax.Array:
     if not cfg.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
-    # top-p nucleus filtering
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_mask = cum - probs > cfg.top_p
-    # min over the KEPT entries → mask the cut ones with +inf
-    cutoff_val = jnp.where(cutoff_mask, jnp.inf,
-                           sorted_logits).min(axis=-1, keepdims=True)
-    filtered = jnp.where(logits < cutoff_val, NEG_INF, logits)
-    return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+    B = logits.shape[0]
+    return sample_rows(
+        logits, jax.random.split(rng, B),
+        jnp.full((B,), cfg.temperature, jnp.float32),
+        jnp.full((B,), cfg.top_p, jnp.float32),
+        jnp.ones((B,), bool))
 
 
 def decode_loop(step_fn: Callable, cache: Any, first_token: jax.Array,

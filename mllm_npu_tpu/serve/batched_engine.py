@@ -41,6 +41,7 @@ tests/test_batched_engine.py).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from collections import deque
 from typing import Any, Dict, List, Optional
 
@@ -48,7 +49,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mllm_npu_tpu.models.language_models.llama import init_cache
+from mllm_npu_tpu.models.language_models.llama import (
+    _write_decode_column, init_cache)
+
+log = logging.getLogger(__name__)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -73,25 +77,11 @@ class Request:
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None   # per-request failure (e.g. bad images)
 
 
-def _sample_rows(logits, rngs, temperature, top_p, do_sample):
-    """Per-row temperature + top-p nucleus sampling, branchless mix
-    with greedy rows (per-slot sampling params in one decode batch).
-    logits [B,V] f32; rngs [B] PRNG keys; temperature/top_p [B] f32;
-    do_sample [B] bool."""
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_mask = cum - probs > top_p[:, None]
-    cutoff_val = jnp.where(cutoff_mask, jnp.inf,
-                           sorted_logits).min(axis=-1, keepdims=True)
-    filtered = jnp.where(scaled < cutoff_val, -1e30, scaled)
-    sampled = jax.vmap(jax.random.categorical)(rngs, filtered) \
-        .astype(jnp.int32)
-    return jnp.where(do_sample, sampled, greedy)
+from mllm_npu_tpu.models.generation.sampler import \
+    sample_rows as _sample_rows  # single shared nucleus-sampling core
 
 
 class ContinuousBatchingEngine:
@@ -374,15 +364,11 @@ class ContinuousBatchingEngine:
             # span. Capacity validation in submit() guarantees active
             # rows satisfy wp0 + n_steps <= max_len (no DUS clamping).
             n_wrote = carry["was_active"].sum(axis=1).astype(jnp.int32)
-
-            def wrow(cb, nb, p):    # cb [L, max_len, Hkv, D]
-                return jax.lax.dynamic_update_slice(cb, nb, (0, p, 0, 0))
-            wvmap = jax.vmap(wrow, in_axes=(1, 1, 0), out_axes=1)
             iota_mx = jax.lax.broadcasted_iota(
                 jnp.int32, (B, max_len), 1)
             new_state = {
-                "k": wvmap(k0, carry["blk_k"], wp0),
-                "v": wvmap(v0, carry["blk_v"], wp0),
+                "k": _write_decode_column(k0, carry["blk_k"], wp0),
+                "v": _write_decode_column(v0, carry["blk_v"], wp0),
                 "key_valid": jnp.logical_or(
                     state["key_valid"],
                     (iota_mx >= wp0[:, None])
@@ -455,43 +441,78 @@ class ContinuousBatchingEngine:
             if self._slot_req[slot] is not None or not self._pending:
                 continue
             req = self._pending.popleft()
-            Sp = len(req.input_ids)
-            bucket = min(_round_up(Sp, self.prompt_bucket),
-                         self.max_prompt)
-            assert Sp <= bucket, "prompt longer than engine max_prompt"
-            ids = np.full((1, bucket), self.pad, np.int32)
-            ids[0, :Sp] = req.input_ids
-            pm = np.zeros((1, bucket), np.int32)
-            pm[0, :Sp] = 1
-            has_images = req.images is not None
-            n_img = 0 if req.images is None else int(req.images.shape[0])
-            icm = None
-            if req.ids_cmp_mask is not None:
-                icm = np.zeros((1, bucket), bool)
-                icm[0, :Sp] = req.ids_cmp_mask
-                icm = jnp.asarray(icm)
-            prefill = self._get_prefill(bucket, has_images, n_img)
-            rng = jax.random.fold_in(jax.random.PRNGKey(req.seed),
-                                     req.uid)
-            temp = jnp.asarray(req.temperature, jnp.float32)
-            top_p = jnp.asarray(req.top_p, jnp.float32)
-            do_sample = jnp.asarray(req.do_sample)
-            first_tok, kv_k, kv_v, row_len = prefill(
-                self.params, jnp.asarray(ids), jnp.asarray(pm),
-                req.images, req.embeds_cmp_mask, icm,
-                req.patch_positions, temp, top_p, do_sample, rng)
-            insert = self._get_insert(bucket)
-            self.state = insert(self.state, slot, kv_k, kv_v,
-                                jnp.asarray(pm), first_tok, row_len,
-                                req.max_new_tokens, temp, top_p,
-                                do_sample, rng)
-            tok0 = int(first_tok)
-            req.tokens.append(tok0)
-            if tok0 == self.eos or req.max_new_tokens <= 1:
+            try:
+                self._admit_one(slot, req)
+            except Exception as e:  # noqa: BLE001 — isolate the request
+                # a malformed request (bad image shapes, tracer errors
+                # in its prefill) must not take down the engine or the
+                # other slots — fail it and keep serving
+                log.exception("request %d failed at admission", req.uid)
+                req.error = f"{type(e).__name__}: {e}"
                 req.done = True
-                self._slot_req[slot] = None
-            else:
-                self._slot_req[slot] = req
+
+    def _admit_one(self, slot: int, req: Request):
+        Sp = len(req.input_ids)
+        bucket = min(_round_up(Sp, self.prompt_bucket),
+                     self.max_prompt)
+        assert Sp <= bucket, "prompt longer than engine max_prompt"
+        ids = np.full((1, bucket), self.pad, np.int32)
+        ids[0, :Sp] = req.input_ids
+        pm = np.zeros((1, bucket), np.int32)
+        pm[0, :Sp] = 1
+        has_images = req.images is not None
+        n_img = 0 if req.images is None else int(req.images.shape[0])
+        icm = None
+        if req.ids_cmp_mask is not None:
+            icm = np.zeros((1, bucket), bool)
+            icm[0, :Sp] = req.ids_cmp_mask
+            icm = jnp.asarray(icm)
+        prefill = self._get_prefill(bucket, has_images, n_img)
+        # independent streams: one key for the prefill's first-token
+        # sample, a different one stored for the decode loop (keys are
+        # use-once in JAX's PRNG discipline)
+        base = jax.random.fold_in(jax.random.PRNGKey(req.seed), req.uid)
+        rng_prefill, rng_decode = jax.random.split(base)
+        temp = jnp.asarray(req.temperature, jnp.float32)
+        top_p = jnp.asarray(req.top_p, jnp.float32)
+        do_sample = jnp.asarray(req.do_sample)
+        first_tok, kv_k, kv_v, row_len = prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(pm),
+            req.images, req.embeds_cmp_mask, icm,
+            req.patch_positions, temp, top_p, do_sample, rng_prefill)
+        insert = self._get_insert(bucket)
+        self.state = insert(self.state, slot, kv_k, kv_v,
+                            jnp.asarray(pm), first_tok, row_len,
+                            req.max_new_tokens, temp, top_p,
+                            do_sample, rng_decode)
+        tok0 = int(first_tok)
+        req.tokens.append(tok0)
+        if tok0 == self.eos or req.max_new_tokens <= 1:
+            req.done = True
+            self._slot_req[slot] = None
+        else:
+            self._slot_req[slot] = req
+
+    def _decode_would_emit(self) -> bool:
+        """True iff the next decode block could emit a real token for
+        some slot. Host-side token counts lag the in-flight block, so a
+        request in the in-flight snapshot gets a block_steps discount:
+        if every occupied slot's remaining budget is already covered by
+        the block in flight, dispatching another block is guaranteed
+        waste (eos can only shorten further). This skips the trailing
+        all-inactive block the pipeline would otherwise run per drain."""
+        inflight = set()
+        if self._result is not None:
+            inflight = {id(r) for r in self._result[2] if r is not None}
+        for r in self._slot_req:
+            if r is None:
+                continue
+            remaining = r.max_new_tokens - len(r.tokens)
+            if id(r) in inflight:
+                remaining -= self.block_steps
+            if remaining > 0:
+                return True
+        return False
 
     def step(self) -> bool:
         """One engine tick, PIPELINED: admit pending requests, dispatch
@@ -505,7 +526,7 @@ class ContinuousBatchingEngine:
         `is req` guard keeps a stale snapshot from clearing a slot that
         was already re-assigned. Returns True if work remains."""
         self._admit()
-        if any(r is not None for r in self._slot_req):
+        if self._decode_would_emit():
             decode = self._get_decode()
             self.state, toks, mask = decode(self.params, self.state)
             result = (toks, mask, list(self._slot_req))

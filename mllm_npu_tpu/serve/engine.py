@@ -199,6 +199,13 @@ class BatchedInferenceEngine(InferenceEngine):
             eos_token_id=gen.sampling.eos_token_id,
             pad_token_id=gen.sampling.pad_token_id,
             cache_dtype=gen.cache_dtype, mesh=mesh)
+        if mesh is not None:
+            # the engine sharded the params across the mesh; point the
+            # single-request generator (image_gen branch) at the SAME
+            # arrays so the unsharded copy can be freed — otherwise the
+            # full weights exist twice in HBM, defeating --tensor-
+            # parallel's purpose on memory-bound models
+            gen.params = self.batch_engine.params
         self._cv = threading.Condition()
         self._inflight: dict = {}          # uid -> (Request, Event)
         self._engine_error: Optional[BaseException] = None
@@ -214,13 +221,19 @@ class BatchedInferenceEngine(InferenceEngine):
             self._prepare_comprehension(input_text, image_b64)
         n = patches.shape[0]
         eng = self.batch_engine
-        mnt = max_new_tokens or self.generator.sampling.max_new_tokens
-        mnt = min(mnt, eng.capacity_for(len(ids)))
+        want = max_new_tokens or self.generator.sampling.max_new_tokens
+        mnt = min(want, eng.capacity_for(len(ids)))
         if mnt < 1:
             raise ValueError(
                 f"prompt of {len(ids)} tokens exceeds the batched "
                 f"engine's capacity (max_prompt={eng.max_prompt}, "
                 f"max_len={eng.max_len})")
+        if mnt < want:
+            log.warning(
+                "truncating max_new_tokens %d -> %d: prompt of %d "
+                "tokens leaves only that much cache-row capacity "
+                "(raise the worker's --max-cache-len for longer "
+                "answers)", want, mnt, len(ids))
         ev = threading.Event()
         with self._cv:
             if self._engine_error is not None:
@@ -239,6 +252,10 @@ class BatchedInferenceEngine(InferenceEngine):
             if self._engine_error is not None:
                 raise RuntimeError("batched engine failed") \
                     from self._engine_error
+        if req.error is not None:
+            # per-request failure (isolated in the engine's _admit —
+            # other slots kept serving); maps to error_code 1
+            raise ValueError(f"request failed: {req.error}")
         return self._strip_text(np.asarray(req.tokens, np.int32))
 
     def _drain_loop(self):

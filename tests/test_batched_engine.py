@@ -73,8 +73,12 @@ def test_mesh_sharded_engine_parity():
     tensor=2) mesh — params sharded on attention heads / MLP hidden,
     KV cache sharded on Hkv — produces the same greedy tokens as the
     single-device engine."""
+    import pytest
+
     from mllm_npu_tpu.parallel import MeshConfig, build_mesh
 
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices (virtual CPU mesh or multi-chip)")
     model, lm_cfg, params = _stack()
     prompts = [[3, 17, 42, 9], [5, 1, 88, 200, 14, 3]]
     T = 6
@@ -203,3 +207,25 @@ def test_staggered_submission():
     eng.run_until_idle()
     assert r1.tokens == e1
     assert r2.tokens == e2
+
+
+def test_malformed_request_is_isolated():
+    """A request whose prefill blows up (bad image shapes) fails alone
+    with req.error set; the engine keeps serving other requests."""
+    model, lm_cfg, params = _stack()
+    good_prompt = [3, 17, 42, 9]
+    T = 6
+    exp = _reference_tokens(model, lm_cfg, params, good_prompt, T)
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=3,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32)
+    bad = eng.submit([5, 1], max_new_tokens=T,
+                     images=jnp.zeros((1, 7, 13, 2)),       # nonsense
+                     embeds_cmp_mask=jnp.ones((1,), bool),
+                     ids_cmp_mask=np.asarray([True, False]),
+                     patch_positions=jnp.zeros((1, 2)))
+    good = eng.submit(good_prompt, max_new_tokens=T)
+    eng.run_until_idle()
+    assert bad.done and bad.error is not None and bad.tokens == []
+    assert good.done and good.error is None and good.tokens == exp
