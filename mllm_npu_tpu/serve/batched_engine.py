@@ -102,12 +102,19 @@ class ContinuousBatchingEngine:
                  pad_token_id: int = 0,
                  cache_dtype=jnp.bfloat16,
                  mesh=None,
-                 enable_sampling: bool = False):
+                 enable_sampling: bool = False,
+                 prefill_chunk: Optional[int] = None,
+                 ladder=None):
         self.model = model
         self.cfg = lm_config
         # trace-time gate: the per-row top-p sort over the vocab is only
         # compiled into prefill/decode when sampling is enabled
         self.enable_sampling = enable_sampling
+        # forced image-token ladder (AutoImageTokenGenerationProcessor
+        # parity, reference mllm.py:18-43): without it the engine can
+        # spontaneously emit <img_k> tokens the generator suppresses —
+        # a prompt-dependent divergence from MLLMGenerator
+        self.ladder = ladder
         self.params = params
         self.B = num_slots
         self.max_len = max_len
@@ -163,6 +170,19 @@ class ContinuousBatchingEngine:
         self._prefill_cache: Dict[Any, Any] = {}
         self._decode_fn = None
         self._result = None   # previous block's (toks, mask, active, slots)
+        # chunked prefill (bounded admission stalls): prompts are fed
+        # through the multi-token decode branch prefill_chunk tokens per
+        # engine tick, interleaved with decode blocks — a long prompt no
+        # longer stalls every active slot for its full prefill latency.
+        # None = monolithic prefill (one jit per admission, lowest
+        # per-request latency when the engine is otherwise idle).
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            assert prefill_chunk % prompt_bucket == 0 or \
+                prompt_bucket % prefill_chunk == 0, \
+                "prefill_chunk must divide (or be a multiple of) " \
+                "prompt_bucket so chunks tile the bucketed prompt"
+        self._prefilling: Optional[dict] = None
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -170,14 +190,15 @@ class ContinuousBatchingEngine:
 
     def _lm_apply(self, params, tok, cache, positions, attn_mask,
                   prefill=False, segment_ids=None, inputs_embeds=None,
-                  block_kv=None, block_mask=None):
+                  block_kv=None, block_mask=None, logits_slice=None):
         def fwd(m, **kw):
             return m.language_model(**kw)
         return self.model.apply(
             params, input_ids=tok, inputs_embeds=inputs_embeds,
             cache=cache, positions=positions, attn_mask=attn_mask,
             segment_ids=segment_ids, prefill=prefill,
-            block_kv=block_kv, block_mask=block_mask, method=fwd)
+            block_kv=block_kv, block_mask=block_mask,
+            logits_slice=logits_slice, method=fwd)
 
     def _get_prefill(self, bucket: int, has_images: bool, n_img: int):
         key = (bucket, has_images, n_img)
@@ -211,6 +232,12 @@ class ContinuousBatchingEngine:
             last = jnp.take_along_axis(
                 logits, idx_last[:, :, None], axis=1)[:, 0] \
                 .astype(jnp.float32)
+            if self.ladder is not None:
+                from mllm_npu_tpu.models.generation.sampler import \
+                    apply_image_ladder
+                last_ids = jnp.take_along_axis(input_ids, idx_last,
+                                               axis=1)[:, 0]
+                last = apply_image_ladder(last, last_ids, self.ladder)
             if self.enable_sampling:
                 first_tok = _sample_rows(
                     last, rng[None], temp[None], top_p[None],
@@ -218,6 +245,86 @@ class ContinuousBatchingEngine:
             else:
                 first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
             return first_tok[0], cache["k"], cache["v"], row_len[0]
+
+        fn = jax.jit(run)
+        self._prefill_cache[key] = fn
+        return fn
+
+    # -- chunked prefill pieces ----------------------------------------
+
+    def _get_embeds_fn(self, bucket: int, has_images: bool, n_img: int):
+        key = ("embeds", bucket, has_images, n_img)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+
+        def run(params, input_ids, images, embeds_cmp_mask,
+                ids_cmp_mask, patch_positions):
+            if has_images:
+                embeds, _ = self.model.apply(
+                    params, input_ids, images, embeds_cmp_mask,
+                    ids_cmp_mask, patch_positions,
+                    method=self.model.embed_and_scatter)
+            else:
+                embeds, _ = self.model.apply(
+                    params, input_ids, None, None, None, None,
+                    method=self.model.embed_and_scatter)
+            return embeds
+
+        fn = jax.jit(run)
+        self._prefill_cache[key] = fn
+        return fn
+
+    def _get_chunk_fn(self, bucket: int, C: int):
+        """One prompt chunk through the multi-token decode branch:
+        writes the chunk's KV into the per-request prefill cache and
+        returns the chunk's hidden states (for the final chunk's
+        first-token logits). Causal + q_offset attention makes the
+        right-padded tail of the last chunk self-consistent: pad keys
+        sit after every real query position, so no extra mask is
+        needed (and insert() marks only real tokens valid)."""
+        key = ("chunk", bucket, C)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+
+        def run(params, embeds, pk, pv, off):
+            H = embeds.shape[-1]
+            chunk = jax.lax.dynamic_slice(
+                embeds, (0, off, 0), (1, C, H))
+            positions = off + jax.lax.broadcasted_iota(
+                jnp.int32, (1, C), 1)
+            cache = {"k": pk, "v": pv, "pos": off}
+            _, h, cache = self._lm_apply(
+                params, None, cache, positions, None,
+                inputs_embeds=chunk, logits_slice=1)
+            return h, cache["k"], cache["v"]
+
+        fn = jax.jit(run, donate_argnums=(2, 3))
+        self._prefill_cache[key] = fn
+        return fn
+
+    def _get_first_tok_fn(self):
+        key = ("first_tok",)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+
+        def run(params, h, idx, last_id, temp, top_p, do_sample, rng):
+            # h [1, C, H]; idx = last real position within the chunk
+            h_last = jax.lax.dynamic_slice(
+                h, (0, idx, 0), (1, 1, h.shape[-1]))[:, 0]
+
+            def head(m, x):
+                return m.language_model._logits(x)
+            logits = self.model.apply(params, h_last, method=head) \
+                .astype(jnp.float32)
+            if self.ladder is not None:
+                from mllm_npu_tpu.models.generation.sampler import \
+                    apply_image_ladder
+                logits = apply_image_ladder(logits, last_id[None],
+                                            self.ladder)
+            if self.enable_sampling:
+                return _sample_rows(logits, rng[None], temp[None],
+                                    top_p[None], do_sample[None])[0]
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
 
         fn = jax.jit(run)
         self._prefill_cache[key] = fn
@@ -327,6 +434,11 @@ class ContinuousBatchingEngine:
                         jnp.int32, (1, n_steps), 1) == i)
                     & act[:, None])
                 last = logits[:, -1].astype(jnp.float32)
+                if self.ladder is not None:
+                    from mllm_npu_tpu.models.generation.sampler import \
+                        apply_image_ladder
+                    last = apply_image_ladder(last, st["cur_tok"],
+                                              self.ladder)
                 if self.enable_sampling:
                     keys = jax.vmap(
                         lambda kk: jax.random.split(kk, 2))(st["rng"])
@@ -437,11 +549,28 @@ class ContinuousBatchingEngine:
         return req
 
     def _admit(self):
+        # chunked mode: advance the in-progress prefill by ONE chunk per
+        # tick; decode blocks run in between, so a long prompt stalls
+        # the batch by at most one chunk's latency
+        if self._prefilling is not None:
+            pf = self._prefilling
+            try:
+                self._prefill_chunk_step(pf)
+            except Exception as e:  # noqa: BLE001 — isolate the request
+                log.exception("request %d failed mid-prefill",
+                              pf["req"].uid)
+                pf["req"].error = f"{type(e).__name__}: {e}"
+                pf["req"].done = True
+                self._prefilling = None
+            return
         for slot in range(self.B):
             if self._slot_req[slot] is not None or not self._pending:
                 continue
             req = self._pending.popleft()
             try:
+                if self.prefill_chunk is not None:
+                    self._start_chunked_admission(slot, req)
+                    return      # one prefill in flight at a time
                 self._admit_one(slot, req)
             except Exception as e:  # noqa: BLE001 — isolate the request
                 # a malformed request (bad image shapes, tracer errors
@@ -514,6 +643,71 @@ class ContinuousBatchingEngine:
                 return True
         return False
 
+    def _start_chunked_admission(self, slot: int, req: Request):
+        Sp = len(req.input_ids)
+        bucket = min(_round_up(Sp, self.prompt_bucket),
+                     self.max_prompt)
+        assert Sp <= bucket, "prompt longer than engine max_prompt"
+        C = self.prefill_chunk
+        if bucket % C != 0:
+            C = self.prompt_bucket          # fallback: always tiles
+        ids = np.full((1, bucket), self.pad, np.int32)
+        ids[0, :Sp] = req.input_ids
+        pm = np.zeros((1, bucket), np.int32)
+        pm[0, :Sp] = 1
+        has_images = req.images is not None
+        n_img = 0 if req.images is None else int(req.images.shape[0])
+        icm = None
+        if req.ids_cmp_mask is not None:
+            icm = np.zeros((1, bucket), bool)
+            icm[0, :Sp] = req.ids_cmp_mask
+            icm = jnp.asarray(icm)
+        embeds = self._get_embeds_fn(bucket, has_images, n_img)(
+            self.params, jnp.asarray(ids), req.images,
+            req.embeds_cmp_mask, icm, req.patch_positions)
+        cache = init_cache(self.cfg, 1, bucket, dtype=self.cache_dtype)
+        base = jax.random.fold_in(jax.random.PRNGKey(req.seed), req.uid)
+        rng_prefill, rng_decode = jax.random.split(base)
+        self._prefilling = {
+            "req": req, "slot": slot, "embeds": embeds,
+            "pm": pm, "pk": cache["k"], "pv": cache["v"],
+            "filled": 0, "bucket": bucket, "chunk": C, "Sp": Sp,
+            "rng_prefill": rng_prefill, "rng_decode": rng_decode,
+        }
+        self._prefill_chunk_step(self._prefilling)
+
+    def _prefill_chunk_step(self, pf: dict):
+        req, C = pf["req"], pf["chunk"]
+        chunk_fn = self._get_chunk_fn(pf["bucket"], C)
+        h, pf["pk"], pf["pv"] = chunk_fn(
+            self.params, pf["embeds"], pf["pk"], pf["pv"],
+            jnp.asarray(pf["filled"], jnp.int32))
+        pf["filled"] += C
+        if pf["filled"] < pf["bucket"]:
+            return
+        # final chunk: first token from the last REAL position's hidden
+        idx = jnp.asarray(pf["Sp"] - 1 - (pf["bucket"] - C), jnp.int32)
+        temp = jnp.asarray(req.temperature, jnp.float32)
+        top_p = jnp.asarray(req.top_p, jnp.float32)
+        do_sample = jnp.asarray(req.do_sample)
+        first_tok = self._get_first_tok_fn()(
+            self.params, h, idx,
+            jnp.asarray(req.input_ids[-1], jnp.int32),
+            temp, top_p, do_sample, pf["rng_prefill"])
+        insert = self._get_insert(pf["bucket"])
+        self.state = insert(
+            self.state, pf["slot"], pf["pk"], pf["pv"],
+            jnp.asarray(pf["pm"]), first_tok,
+            jnp.asarray(pf["Sp"], jnp.int32), req.max_new_tokens,
+            temp, top_p, do_sample, pf["rng_decode"])
+        self._prefilling = None
+        tok0 = int(first_tok)
+        req.tokens.append(tok0)
+        if tok0 == self.eos or req.max_new_tokens <= 1:
+            req.done = True
+        else:
+            self._slot_req[pf["slot"]] = req
+
     def step(self) -> bool:
         """One engine tick, PIPELINED: admit pending requests, dispatch
         the next decode block (async — JAX returns futures), then
@@ -556,7 +750,8 @@ class ContinuousBatchingEngine:
                         self._slot_req[slot] = None
         return bool(self._pending) or \
             any(r is not None for r in self._slot_req) or \
-            self._result is not None
+            self._result is not None or \
+            self._prefilling is not None
 
     def run_until_idle(self, max_ticks: int = 10_000):
         ticks = 0

@@ -183,7 +183,8 @@ class BatchedInferenceEngine(InferenceEngine):
 
     def __init__(self, *, num_slots: int = 8, max_len: int = 2048,
                  max_prompt: int = 1024, block_steps: int = 16,
-                 batch_prompt_bucket: int = 128, mesh=None, **kw):
+                 batch_prompt_bucket: int = 128, mesh=None,
+                 prefill_chunk: Optional[int] = None, **kw):
         super().__init__(**kw)
         import threading
 
@@ -198,7 +199,8 @@ class BatchedInferenceEngine(InferenceEngine):
             max_prompt=max_prompt,
             eos_token_id=gen.sampling.eos_token_id,
             pad_token_id=gen.sampling.pad_token_id,
-            cache_dtype=gen.cache_dtype, mesh=mesh)
+            cache_dtype=gen.cache_dtype, mesh=mesh,
+            prefill_chunk=prefill_chunk, ladder=gen.ladder)
         if mesh is not None:
             # the engine sharded the params across the mesh; point the
             # single-request generator (image_gen branch) at the SAME

@@ -153,7 +153,8 @@ def load_engine_from_config(model_config_path: str,
                             batched: bool = False,
                             num_slots: int = 8,
                             max_len: int = 2048,
-                            tensor_parallel: int = 1):
+                            tensor_parallel: int = 1,
+                            prefill_chunk=None):
     """Build the InferenceEngine from a model YAML (the worker-side
     analogue of reference worker.py:65-109's model stack load)."""
     import jax
@@ -201,7 +202,8 @@ def load_engine_from_config(model_config_path: str,
                 devices=jax.devices()[:tensor_parallel])
         return BatchedInferenceEngine(
             num_slots=num_slots, max_len=max_len,
-            max_prompt=max_len // 2, mesh=mesh, **common)
+            max_prompt=max_len // 2, mesh=mesh,
+            prefill_chunk=prefill_chunk, **common)
     return InferenceEngine(**common)
 
 
@@ -226,13 +228,18 @@ def main():
     parser.add_argument("--tensor-parallel", type=int, default=1,
                         help="shard the batched engine over N chips "
                              "(GSPMD tensor axis)")
+    parser.add_argument("--prefill-chunk", type=int, default=None,
+                        help="chunked prefill: admit prompts N tokens "
+                             "per tick so long prompts don't stall "
+                             "active decode slots")
     args = parser.parse_args()
     build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
     engine = load_engine_from_config(
         args.model_config, generation_config_path=args.generation_config,
         batched=args.batched, num_slots=args.num_slots,
         max_len=args.max_cache_len,
-        tensor_parallel=args.tensor_parallel)
+        tensor_parallel=args.tensor_parallel,
+        prefill_chunk=args.prefill_chunk)
     if args.batched:
         args.limit_model_concurrency = max(
             args.limit_model_concurrency, args.num_slots)

@@ -229,3 +229,78 @@ def test_malformed_request_is_isolated():
     eng.run_until_idle()
     assert bad.done and bad.error is not None and bad.tokens == []
     assert good.done and good.error is None and good.tokens == exp
+
+
+def test_chunked_prefill_parity():
+    """prefill_chunk: prompts feed through the multi-token decode
+    branch one chunk per tick, interleaved with decode — greedy tokens
+    identical to the monolithic-prefill engine, including a request
+    admitted while another is mid-decode."""
+    model, lm_cfg, params = _stack()
+    p_long = list(np.random.RandomState(3).randint(3, 250, 19))  # 3 chunks of 8
+    p_short = [3, 17, 42]
+    T = 6
+    exp_long = _reference_tokens(model, lm_cfg, params, p_long, T)
+    exp_short = _reference_tokens(model, lm_cfg, params, p_short, T)
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=2,
+        prompt_bucket=8, max_prompt=32, eos_token_id=-1,
+        cache_dtype=jnp.float32, prefill_chunk=8)
+    r_short = eng.submit(p_short, max_new_tokens=T)
+    eng.step()                   # short admitted, starts decoding
+    r_long = eng.submit(p_long, max_new_tokens=T)
+    eng.run_until_idle()
+    assert r_short.done and r_short.tokens == exp_short, \
+        (r_short.tokens, exp_short)
+    assert r_long.done and r_long.tokens == exp_long, \
+        (r_long.tokens, exp_long)
+
+
+def test_engine_image_ladder_forcing():
+    """With a ladder, the engine mirrors AutoImageTokenGenerationProcessor
+    (reference mllm.py:18-43): a prompt ending in <img> force-decodes the
+    full <img_00000>...</img> ladder, and ladder tokens are suppressed
+    otherwise — token-for-token equal to MLLMGenerator's ladder path."""
+    from mllm_npu_tpu.models.generation.sampler import ImageTokenLadder
+    from mllm_npu_tpu.utils.testing import FakeTokenizer
+
+    model, lm_cfg, params = _stack()
+    tok = FakeTokenizer()
+    n_img = 4
+    ladder_ids = tuple([tok.special["<img>"]]
+                       + [tok.special[f"<img_{i:05d}>"]
+                          for i in range(n_img)]
+                       + [tok.special["</img>"]])
+    ladder = ImageTokenLadder(ids=ladder_ids)
+    T = n_img + 2
+    prompt = [3, 17, ladder_ids[0]]          # ends with <img>
+
+    gen = MLLMGenerator(
+        model, lm_cfg, params,
+        sampling=SamplingConfig(max_new_tokens=T, do_sample=False,
+                                eos_token_id=-1),
+        ladder=ladder, cache_dtype=jnp.float32)
+    exp = list(np.asarray(gen.generate(
+        jnp.asarray([prompt], jnp.int32))["generate_ids"][0]))
+    assert exp[:n_img + 1] == list(ladder_ids[1:]), exp  # forced ladder
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=2,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        ladder=ladder)
+    r = eng.submit(prompt, max_new_tokens=T)
+    eng.run_until_idle()
+    assert r.tokens == exp, (r.tokens, exp)
+
+    # chunked prefill path honors the ladder on the first token too
+    eng2 = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=2,
+        prompt_bucket=8, max_prompt=16, eos_token_id=-1,
+        cache_dtype=jnp.float32, ladder=ladder, prefill_chunk=8)
+    long_prompt = [5, 9, 44, 7, 3, 17, 250, 8, 99, ladder_ids[0]]
+    exp2 = list(np.asarray(gen.generate(
+        jnp.asarray([long_prompt], jnp.int32))["generate_ids"][0]))
+    r2 = eng2.submit(long_prompt, max_new_tokens=T)
+    eng2.run_until_idle()
+    assert r2.tokens == exp2, (r2.tokens, exp2)
