@@ -381,7 +381,8 @@ def build_sdxl_adapter(resampler: Optional[dict] = None,
                        adapter_checkpoint: Optional[str] = None,
                        vit_down: bool = False,
                        with_latent_image: bool = False,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32,
+                       scheduler=None):
     """Build the SDXL de-tokenizer stack (worker-side analogue of
     reference worker.py:88-109 / demo txt2img :57-88). Checkpoints load
     when present; otherwise random init (DEBUG/tiny workflows).
@@ -463,5 +464,6 @@ def build_sdxl_adapter(resampler: Optional[dict] = None,
     adapter = cls(unet_module=unet, unet_params=unet_params,
                   resampler_module=res_mod, resampler_params=res_params,
                   vit_down=vit_down)
-    adapter.init_pipe(vae, vae_params, EulerDiscreteScheduler())
+    adapter.init_pipe(vae, vae_params,
+                      scheduler or EulerDiscreteScheduler())
     return adapter

@@ -154,13 +154,12 @@ class SDXLAdapter:
             pooled_all = jnp.concatenate([pooled_neg, pooled], axis=0)
             tids = jnp.concatenate([time_ids, time_ids], axis=0)
 
-            def body(i, lat):
+            def body(i, carry):
+                lat, sstate = carry
                 sigma = sigmas[i]
-                sigma_next = sigmas[i + 1]
                 t = ts[i]
                 lat_in = jnp.concatenate([lat, lat], axis=0)
-                lat_in = EulerDiscreteScheduler.scale_model_input(lat_in,
-                                                                  sigma)
+                lat_in = sched.scale_model_input(lat_in, sigma)
                 eps = self.unet_module.apply(
                     unet_params, lat_in,
                     jnp.broadcast_to(t, (2 * B,)), prompt,
@@ -168,10 +167,11 @@ class SDXLAdapter:
                                 "time_ids": tids})
                 eps_neg, eps_pos = jnp.split(eps, 2, axis=0)
                 eps = eps_neg + guidance * (eps_pos - eps_neg)
-                return EulerDiscreteScheduler.step(eps.astype(jnp.float32),
-                                                   lat, sigma, sigma_next)
+                return sched.step(eps.astype(jnp.float32), lat, i, ts,
+                                  sigmas, sstate)
 
-            lat = jax.lax.fori_loop(0, num_steps, body, latents)
+            lat, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents, sched.init_state(latents)))
             imgs = self.vae_module.apply(
                 vae_params, lat / self.vae_module.config.scaling_factor,
                 method=self.vae_module.decode)
@@ -260,11 +260,11 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
 
         @jax.jit
         def run(unet_params, vae_params, latents):
-            def body(i, lat):
-                sigma, sigma_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            def body(i, carry):
+                lat, sstate = carry
+                sigma, t = sigmas[i], ts[i]
                 lat_in = jnp.concatenate([lat] * 3, axis=0)
-                lat_in = EulerDiscreteScheduler.scale_model_input(lat_in,
-                                                                  sigma)
+                lat_in = sched.scale_model_input(lat_in, sigma)
                 lat_in = jnp.concatenate([lat_in, img_lat_all], axis=-1)
                 eps = self.unet_module.apply(
                     unet_params, lat_in,
@@ -275,10 +275,12 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
                 eps = (e_unc
                        + image_guidance_scale * (e_img - e_unc)
                        + guidance_scale * (e_full - e_img))
-                return EulerDiscreteScheduler.step(eps.astype(jnp.float32),
-                                                   lat, sigma, sigma_next)
+                return sched.step(eps.astype(jnp.float32), lat, i, ts,
+                                  sigmas, sstate)
 
-            lat = jax.lax.fori_loop(0, num_inference_steps, body, latents)
+            lat, _ = jax.lax.fori_loop(
+                0, num_inference_steps, body,
+                (latents, sched.init_state(latents)))
             return self.vae_module.apply(
                 vae_params, lat / self.vae_module.config.scaling_factor,
                 method=self.vae_module.decode)
@@ -471,20 +473,23 @@ class IPAdapterSDPipe:
             B = latents.shape[0]
             context = jnp.concatenate([context_neg, context_pos], axis=0)
 
-            def body(i, lat):
-                sigma, sigma_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            sched = self.scheduler
+
+            def body(i, carry):
+                lat, sstate = carry
+                sigma, t = sigmas[i], ts[i]
                 lat_in = jnp.concatenate([lat, lat], axis=0)
-                lat_in = EulerDiscreteScheduler.scale_model_input(lat_in,
-                                                                  sigma)
+                lat_in = sched.scale_model_input(lat_in, sigma)
                 eps = unet.apply(unet_params, lat_in,
                                  jnp.broadcast_to(t, (2 * B,)), context,
                                  ip_scale=ip_scale)
                 e_neg, e_pos = jnp.split(eps, 2, axis=0)
                 eps = e_neg + guidance * (e_pos - e_neg)
-                return EulerDiscreteScheduler.step(eps.astype(jnp.float32),
-                                                   lat, sigma, sigma_next)
+                return sched.step(eps.astype(jnp.float32), lat, i, ts,
+                                  sigmas, sstate)
 
-            lat = jax.lax.fori_loop(0, num_steps, body, latents)
+            lat, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents, sched.init_state(latents)))
             return self.vae_module.apply(
                 vae_params, lat / self.vae_module.config.scaling_factor,
                 method=self.vae_module.decode)
