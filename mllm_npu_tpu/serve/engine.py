@@ -215,8 +215,8 @@ class BatchedInferenceEngine(InferenceEngine):
                                        daemon=True)
         self._drain.start()
 
-    def comprehension(self, input_text: str, image_b64: str,
-                      max_new_tokens: Optional[int] = None) -> str:
+    def _submit(self, input_text: str, image_b64: str,
+                max_new_tokens: Optional[int], q=None):
         import threading
 
         ids, patches, patch_pos, ids_cmp_mask = \
@@ -247,9 +247,12 @@ class BatchedInferenceEngine(InferenceEngine):
                 ids_cmp_mask=ids_cmp_mask,
                 patch_positions=jnp.asarray(patch_pos),
                 max_new_tokens=mnt)
-            self._inflight[req.uid] = (req, ev)
+            # mutable entry: [req, done-event, stream queue, #sent]
+            self._inflight[req.uid] = [req, ev, q, 0]
             self._cv.notify()
-        ev.wait()
+        return req, ev
+
+    def _raise_if_failed(self, req):
         with self._cv:
             if self._engine_error is not None:
                 raise RuntimeError("batched engine failed") \
@@ -258,7 +261,31 @@ class BatchedInferenceEngine(InferenceEngine):
             # per-request failure (isolated in the engine's _admit —
             # other slots kept serving); maps to error_code 1
             raise ValueError(f"request failed: {req.error}")
+
+    def comprehension(self, input_text: str, image_b64: str,
+                      max_new_tokens: Optional[int] = None) -> str:
+        req, ev = self._submit(input_text, image_b64, max_new_tokens)
+        ev.wait()
+        self._raise_if_failed(req)
         return self._strip_text(np.asarray(req.tokens, np.int32))
+
+    def comprehension_stream(self, input_text: str, image_b64: str,
+                             max_new_tokens: Optional[int] = None):
+        """Generator of CUMULATIVE text snapshots — one per decode
+        block as the drain thread distributes emissions (plus a final
+        snapshot). The last yielded value equals comprehension()'s."""
+        import queue as _queue
+
+        q: "_queue.Queue" = _queue.Queue()
+        req, ev = self._submit(input_text, image_b64, max_new_tokens, q)
+        while True:
+            toks = q.get()
+            if toks is None:
+                break
+            yield self._strip_text(np.asarray(toks, np.int32))
+        ev.wait()
+        self._raise_if_failed(req)
+        yield self._strip_text(np.asarray(req.tokens, np.int32))
 
     def _drain_loop(self):
         eng = self.batch_engine
@@ -274,12 +301,25 @@ class BatchedInferenceEngine(InferenceEngine):
                 log.exception("batched engine drain loop failed")
                 with self._cv:
                     self._engine_error = e
-                    for _, (req, ev) in self._inflight.items():
+                    for _, (req, ev, q, _seen) in self._inflight.items():
                         req.done = True
+                        if q is not None:
+                            q.put(None)
                         ev.set()
                     self._inflight.clear()
                 return
             with self._cv:
-                for uid in [u for u, (r, _) in self._inflight.items()
-                            if r.done]:
-                    self._inflight.pop(uid)[1].set()
+                done = []
+                for uid, entry in self._inflight.items():
+                    req, ev, q, seen = entry
+                    if q is not None and len(req.tokens) > seen \
+                            and not req.done:
+                        q.put(list(req.tokens))
+                        entry[3] = len(req.tokens)
+                    if req.done:
+                        if q is not None:
+                            q.put(None)
+                        ev.set()
+                        done.append(uid)
+                for uid in done:
+                    self._inflight.pop(uid)

@@ -97,6 +97,16 @@ class ModelWorker:
         reference's error-code contract (worker.py:322-346)."""
         try:
             if not params.get("image_gen"):
+                if params.get("stream") and hasattr(
+                        self.engine, "comprehension_stream"):
+                    # cumulative text snapshots, one chunk per decode
+                    # block (LLaVA-style streaming contract)
+                    for text in self.engine.comprehension_stream(
+                            params["input_text"], params["image"]):
+                        yield json.dumps(
+                            {"text": text,
+                             "error_code": 0}).encode() + b"\0"
+                    return
                 text = self.engine.comprehension(params["input_text"],
                                                  params["image"])
                 yield json.dumps({"text": text,
@@ -129,12 +139,26 @@ def create_app(worker: ModelWorker) -> web.Application:
         resp = web.StreamResponse()
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
+        q: asyncio.Queue = asyncio.Queue()
+
+        def run():
+            # chunk-at-a-time handoff to the event loop: responses
+            # stream as they are produced (the reference's b'\0'
+            # streaming contract), instead of buffering the full list
+            try:
+                for chunk in worker.generate_gate(params):
+                    loop.call_soon_threadsafe(q.put_nowait, chunk)
+            finally:
+                loop.call_soon_threadsafe(q.put_nowait, None)
+
         try:
-            def run():
-                return list(worker.generate_gate(params))
-            chunks = await loop.run_in_executor(None, run)
-            for chunk in chunks:
+            fut = loop.run_in_executor(None, run)
+            while True:
+                chunk = await q.get()
+                if chunk is None:
+                    break
                 await resp.write(chunk)
+            await fut
         finally:
             worker.semaphore.release()
         return resp

@@ -268,3 +268,48 @@ def test_add_special_tokens_tool(tmp_path):
         ids = loaded.encode(t, add_special_tokens=False)
         assert len(ids) == 1, (t, ids)
     assert loaded.pad_token == "<unk>"
+
+
+def test_streaming_comprehension():
+    """stream=true: the worker emits multiple b'\\0'-delimited chunks of
+    cumulative text; each is a prefix of the next and the final chunk
+    equals the non-streamed answer."""
+    from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    from mllm_npu_tpu.data.processor import ImageProcessor
+    eng = BatchedInferenceEngine(
+        num_slots=2, max_len=64, max_prompt=32, block_steps=2,
+        batch_prompt_bucket=16,
+        model=model, lm_config=lm_cfg, params=params,
+        tokenizer=FakeTokenizer(),
+        image_transform=ImageProcessor(height=56, width=56),
+        resolution_grids=("1x1",), base_resolution=448,
+        num_img_in_tokens=4, num_img_out_tokens=4,
+        max_new_tokens=8, cache_dtype=jnp.float32,
+        cast_params_bf16=False)
+    img = _img_b64()
+    plain = eng.comprehension("what?", img)
+
+    async def run():
+        w = ModelWorker("http://unused", "http://worker", "id0", "tiny",
+                        eng, no_register=True)
+        client = TestClient(TestServer(worker_mod.create_app(w)))
+        await client.start_server()
+        resp = await client.post("/worker_generate", json={
+            "input_text": "what?", "image": img, "image_gen": False,
+            "stream": True})
+        body = await resp.read()
+        await client.close()
+        return [json.loads(c) for c in body.split(b"\0") if c]
+
+    chunks = asyncio.run(run())
+    assert len(chunks) >= 2, chunks           # block_steps=2, T=8
+    assert all(c["error_code"] == 0 for c in chunks)
+    texts = [c["text"] for c in chunks]
+    assert texts[-1] == plain
+    for a, b in zip(texts, texts[1:]):
+        assert b.startswith(a), (a, b)
