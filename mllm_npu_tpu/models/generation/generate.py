@@ -62,7 +62,9 @@ class MLLMGenerator:
                  cast_params_bf16: bool = False,
                  quantize_int8: bool = False,
                  fuse_projections: bool = False,
-                 unroll_layers: bool = False):
+                 unroll_layers: bool = False,
+                 speculative_k: int = 0,
+                 speculative_ngram: int = 3):
         if fuse_projections:
             # one qkv matvec + one gate_up matvec per block: fewer
             # kernel launches in the decode while_loop
@@ -109,6 +111,10 @@ class MLLMGenerator:
         self.ladder = ladder
         self.prompt_bucket = prompt_bucket
         self.cache_dtype = cache_dtype
+        # prompt-lookup speculative decoding (greedy, B=1): verify k
+        # n-gram-proposed tokens per forward; 0 disables
+        self.speculative_k = speculative_k
+        self.speculative_ngram = speculative_ngram
         self._compiled = {}
 
     # -- model plumbing (apply with method=...) ---------------------------
@@ -145,7 +151,8 @@ class MLLMGenerator:
         cfg = self.lm_config
         sampling = self.sampling
         ladder = self.ladder
-        max_len = prompt_len + sampling.max_new_tokens
+        spec_k = self.speculative_k if not sampling.do_sample else 0
+        max_len = prompt_len + sampling.max_new_tokens + spec_k
 
         def run(params, input_ids, prompt_mask, images, embeds_cmp_mask,
                 ids_cmp_mask, patch_positions, rng):
@@ -192,6 +199,26 @@ class MLLMGenerator:
                 [pm.astype(bool),
                  jnp.ones((B, max_len - Sp), bool)], axis=1)
             decode_am = base_valid[:, None, None, :]
+
+            if spec_k > 0 and B == 1:
+                from mllm_npu_tpu.models.generation.sampler import \
+                    speculative_decode_loop
+
+                def step_multi(toks, c):
+                    pos_t = (row_len[:, None]
+                             + (c["pos"] - Sp)
+                             + jax.lax.broadcasted_iota(
+                                 jnp.int32, (B, spec_k + 1), 1))
+                    logits, h, c = self._lm_forward(
+                        params, input_ids=toks, cache=c,
+                        positions=pos_t, attn_mask=decode_am)
+                    return logits, h, c
+
+                tokens, hiddens, done = speculative_decode_loop(
+                    step_multi, cache, first_token, first_hidden,
+                    sampling, input_ids, ladder=ladder, k=spec_k,
+                    ngram=self.speculative_ngram)
+                return tokens, hiddens
 
             def step(tok, cache):
                 pos_t = (row_len + (cache["pos"] - Sp))[:, None]

@@ -185,6 +185,104 @@ def decode_loop(step_fn: Callable, cache: Any, first_token: jax.Array,
     return tokens, hidden, done
 
 
+def speculative_decode_loop(step_multi: Callable, cache: Any,
+                            first_token: jax.Array,    # [1]
+                            first_hidden: jax.Array,   # [1, D]
+                            cfg: SamplingConfig,
+                            context_ids: jax.Array,    # [1, Sp]
+                            ladder: Optional[ImageTokenLadder] = None,
+                            k: int = 5, ngram: int = 3):
+    """Prompt-lookup speculative GREEDY decode, B == 1 (draft-model-free
+    speculation: the next k tokens are proposed by matching the context's
+    trailing n-gram against its own history — prompts/answers with
+    repetition accept long runs; zero acceptance still emits >= 1
+    token/step, so worst case equals normal decode + k wasted verify
+    positions).
+
+    step_multi(toks [1, k+1], cache) -> (logits [1, k+1, V],
+    hidden [1, k+1, D], cache). The verify forward writes k+1 keys at
+    [pos, pos+k]; only the accepted prefix advances ``pos`` — rejected
+    keys are overwritten by the next iteration (per-row positions make
+    rollback free). Output is token-for-token identical to decode_loop
+    for greedy sampling.
+
+    The caller must size the KV cache and token buffer with +k headroom
+    (see generate.py)."""
+    assert not cfg.do_sample, "speculative decode is greedy-only"
+    assert first_token.shape[0] == 1, "speculative decode is B=1"
+    T = cfg.max_new_tokens
+    Dh = first_hidden.shape[-1]
+    Tp = T + k + 1
+    Sp = context_ids.shape[1]
+
+    tokens0 = jnp.zeros((1, Tp), jnp.int32).at[:, 0].set(first_token)
+    hidden0 = jnp.zeros((1, Tp, Dh), first_hidden.dtype) \
+        .at[:, 0].set(first_hidden)
+    done0 = first_token[0] == cfg.eos_token_id
+
+    ctx0 = context_ids[0]
+    L = Sp + Tp
+
+    def cond(state):
+        t, tokens, hidden, cache, cur, done = state
+        return jnp.logical_and(t < T, jnp.logical_not(done))
+
+    def body(state):
+        t, tokens, hidden, cache, cur, done = state
+        # ---- propose: most recent earlier occurrence of the trailing
+        # n-gram; take the k tokens that followed it
+        C = jnp.concatenate([ctx0, tokens[0]])              # [L]
+        end = Sp + t                                        # ctx length
+        gram = jax.lax.dynamic_slice(C, (end - ngram,), (ngram,))
+        pos_idx = jnp.arange(L)
+        match = jnp.ones((L,), bool)
+        for i in range(ngram):                              # static
+            s = ngram - 1 - i
+            match &= (jnp.roll(C, s) == gram[i]) & (pos_idx >= s)
+        match &= pos_idx <= end - 2     # strictly before the suffix
+        p_star = jnp.max(jnp.where(match, pos_idx, -1))
+        props = jax.lax.dynamic_slice(
+            C, (jnp.clip(p_star + 1, 0, L - k),), (k,))
+        props = jnp.where(p_star >= 0, props, cfg.pad_token_id)
+
+        # ---- verify: one forward over [cur, props...]
+        toks_in = jnp.concatenate([cur, props])[None]       # [1, k+1]
+        logits, h, cache = step_multi(toks_in, cache)
+        lg = logits[0].astype(jnp.float32)                  # [k+1, V]
+        if ladder is not None:
+            lg = apply_image_ladder(lg, toks_in[0], ladder)
+        g = jnp.argmax(lg, axis=-1).astype(jnp.int32)       # [k+1]
+
+        # ---- accept the matching prefix (+ the bonus token)
+        acc = (props == g[:k]).astype(jnp.int32)
+        m = jnp.cumprod(acc).sum()
+        e = jnp.minimum(m + 1, T - t)                       # emit count
+        is_eos = g == cfg.eos_token_id
+        eos_idx = jnp.min(jnp.where(is_eos, jnp.arange(k + 1), k + 1))
+        e = jnp.minimum(e, eos_idx + 1)
+        done = jnp.logical_or(eos_idx < e, t + e >= T)
+
+        tokens = jax.lax.dynamic_update_slice(tokens, g[None], (0, t))
+        hidden = jax.lax.dynamic_update_slice(
+            hidden, h[:, :, :].astype(hidden.dtype), (0, t, 0))
+        # pos advances by the number of finalized keys: cur's plus the
+        # accepted proposals'; the new cur is the last emitted token
+        cache = {**cache, "pos": cache["pos"] - (k + 1) + e}
+        cur = jnp.take(g, e - 1)[None]
+        return (t + e, tokens, hidden, cache, cur, done)
+
+    state = (jnp.asarray(1, jnp.int32), tokens0, hidden0, cache,
+             first_token, done0)
+    t_f, tokens, hidden, cache, _, done = jax.lax.while_loop(
+        cond, body, state)
+    # zero the speculative tail beyond the last emitted token (parity
+    # with decode_loop's zeros-initialized buffer)
+    keep = jnp.arange(Tp) < t_f
+    tokens = jnp.where(keep[None, :], tokens, 0)
+    hidden = jnp.where(keep[None, :, None], hidden, 0)
+    return tokens[:, :T], hidden[:, :T], done[None]
+
+
 def extract_img_windows(tokens: jax.Array,     # [T] generated ids
                         hiddens: jax.Array,    # [T, D]
                         eoi_token_id: int,

@@ -164,3 +164,62 @@ def test_unrolled_layers_match_scan():
                       fuse_projections=True, unroll_layers=True)
     out = np.asarray(q.generate(prompt)["generate_ids"][0])
     assert out.shape == ref.shape
+
+
+def test_speculative_decode_matches_plain_greedy():
+    """Prompt-lookup speculation is exact: greedy tokens AND hidden
+    states match the plain loop token-for-token, on repetitive prompts
+    (exercising long accepted runs) and non-repetitive ones."""
+    spec = TinySpec(batch=1, seq=32)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    cfg = SamplingConfig(max_new_tokens=12, do_sample=False,
+                         eos_token_id=-1)
+    plain = MLLMGenerator(model, lm_cfg, params, sampling=cfg,
+                          cache_dtype=jnp.float32)
+    spec_gen = MLLMGenerator(model, lm_cfg, params, sampling=cfg,
+                             cache_dtype=jnp.float32, speculative_k=4,
+                             speculative_ngram=2)
+    prompts = [
+        [7, 9, 11, 7, 9, 11, 7, 9],          # repetitive: accepts runs
+        [3, 17, 42, 9, 100],                 # arbitrary
+        [250, 4],                            # short
+    ]
+    for p in prompts:
+        ids = jnp.asarray([p], jnp.int32)
+        a = plain.generate(ids)
+        b = spec_gen.generate(ids)
+        np.testing.assert_array_equal(np.asarray(a["generate_ids"]),
+                                      np.asarray(b["generate_ids"]))
+        np.testing.assert_allclose(
+            np.asarray(a["hidden_states"], np.float32),
+            np.asarray(b["hidden_states"], np.float32),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_speculative_decode_eos_stop():
+    """Speculation respects eos: pick the plain run's 4th generated
+    token as the eos id — the speculative run must stop at the same
+    point even if eos lands mid-accepted-window."""
+    spec = TinySpec(batch=1, seq=32)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    base = SamplingConfig(max_new_tokens=12, do_sample=False,
+                          eos_token_id=-1)
+    prompt = jnp.asarray([[7, 9, 11, 7, 9, 11, 7, 9]], jnp.int32)
+    ref = np.asarray(MLLMGenerator(
+        model, lm_cfg, params, sampling=base,
+        cache_dtype=jnp.float32).generate(prompt)["generate_ids"][0])
+    eos = int(ref[3])
+    cfg = SamplingConfig(max_new_tokens=12, do_sample=False,
+                         eos_token_id=eos)
+    a = np.asarray(MLLMGenerator(
+        model, lm_cfg, params, sampling=cfg,
+        cache_dtype=jnp.float32).generate(prompt)["generate_ids"][0])
+    b = np.asarray(MLLMGenerator(
+        model, lm_cfg, params, sampling=cfg, cache_dtype=jnp.float32,
+        speculative_k=4, speculative_ngram=2)
+        .generate(prompt)["generate_ids"][0])
+    np.testing.assert_array_equal(a, b)
