@@ -124,6 +124,15 @@ class ContinuousBatchingEngine:
         # recompiles and leaves decode room in every admitted row)
         self.max_prompt = (max_len if max_prompt is None
                            else min(max_prompt, max_len))
+        # keep the cap itself a multiple of prompt_bucket: admission
+        # buckets are round_up(Sp, prompt_bucket) capped at max_prompt,
+        # and the chunked-prefill loop slices the bucket in fixed-size
+        # chunks — a capped non-multiple bucket would make the chunk
+        # loop write past the bucket (silently clamped by DUS,
+        # corrupting the prompt tail's KV)
+        if self.max_prompt >= prompt_bucket:
+            self.max_prompt = (self.max_prompt // prompt_bucket
+                               ) * prompt_bucket
         self.eos = eos_token_id
         self.pad = pad_token_id
         self.cache_dtype = cache_dtype
@@ -650,7 +659,13 @@ class ContinuousBatchingEngine:
         assert Sp <= bucket, "prompt longer than engine max_prompt"
         C = self.prefill_chunk
         if bucket % C != 0:
-            C = self.prompt_bucket          # fallback: always tiles
+            # prompt_bucket tiles any bucket that is a multiple of it
+            C = self.prompt_bucket
+        if bucket % C != 0:
+            # max_prompt < prompt_bucket edge case: no chunk size tiles
+            # this bucket — monolithic prefill is always correct
+            self._admit_one(slot, req)
+            return
         ids = np.full((1, bucket), self.pad, np.int32)
         ids[0, :Sp] = req.input_ids
         pm = np.zeros((1, bucket), np.int32)
@@ -679,14 +694,23 @@ class ContinuousBatchingEngine:
     def _prefill_chunk_step(self, pf: dict):
         req, C = pf["req"], pf["chunk"]
         chunk_fn = self._get_chunk_fn(pf["bucket"], C)
+        off = pf["filled"]
         h, pf["pk"], pf["pv"] = chunk_fn(
             self.params, pf["embeds"], pf["pk"], pf["pv"],
-            jnp.asarray(pf["filled"], jnp.int32))
-        pf["filled"] += C
+            jnp.asarray(off, jnp.int32))
+        if off <= pf["Sp"] - 1 < off + C:
+            # this chunk covers the prompt's last REAL token — keep its
+            # hidden states for the first-token logits. The final chunk
+            # can be pure padding (Sp <= bucket - C whenever
+            # prefill_chunk < prompt_bucket), so indexing into the last
+            # chunk would read a pad position's hidden.
+            pf["h_last"], pf["h_off"] = h, off
+        pf["filled"] = off + C
         if pf["filled"] < pf["bucket"]:
             return
-        # final chunk: first token from the last REAL position's hidden
-        idx = jnp.asarray(pf["Sp"] - 1 - (pf["bucket"] - C), jnp.int32)
+        # first token from the last real position's hidden state
+        h, idx = pf["h_last"], jnp.asarray(pf["Sp"] - 1 - pf["h_off"],
+                                           jnp.int32)
         temp = jnp.asarray(req.temperature, jnp.float32)
         top_p = jnp.asarray(req.top_p, jnp.float32)
         do_sample = jnp.asarray(req.do_sample)

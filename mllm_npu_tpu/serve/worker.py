@@ -171,6 +171,23 @@ def create_app(worker: ModelWorker) -> web.Application:
     return app
 
 
+def _load_tokenizer(tok_cfg: dict):
+    """Instantiate the config's tokenizer, with the same DEBUG_FLAG
+    fallback every other component gets (reference mllm.py:221): a
+    missing tokenizer path under DEBUG substitutes the offline
+    FakeTokenizer so the full worker stack runs checkpoint-free."""
+    import os
+    from pathlib import Path
+
+    from mllm_npu_tpu.configs import instantiate
+    path = tok_cfg.get("pretrained_model_name_or_path", "")
+    if (os.environ.get("DEBUG_FLAG", "False") == "True"
+            and not Path(str(path)).exists()):
+        from mllm_npu_tpu.utils.testing import FakeTokenizer
+        return FakeTokenizer()
+    return instantiate(tok_cfg)
+
+
 def load_engine_from_config(model_config_path: str,
                             max_new_tokens: int = 512,
                             generation_config_path: str = None,
@@ -191,7 +208,7 @@ def load_engine_from_config(model_config_path: str,
     cfg = load_config(model_config_path)
     llm = instantiate(cfg["mllm"]["language_model"])
     bundle = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
-    tokenizer = instantiate(cfg["mllm"]["tokenizer"])
+    tokenizer = _load_tokenizer(cfg["mllm"]["tokenizer"])
     processor = instantiate(cfg["mllm"]["processor"])
 
     vis_cfg = bundle.module.vision_encoder.config

@@ -257,6 +257,50 @@ def test_chunked_prefill_parity():
         (r_long.tokens, exp_long)
 
 
+def test_chunked_prefill_subchunk_short_prompt_parity():
+    """prefill_chunk < prompt_bucket: a short prompt's last real token
+    lands in a NON-final chunk (the final chunk is pure padding), and
+    the first token must come from that chunk's hidden state — not the
+    final chunk's clamped pad position (advisor r1 high-severity
+    repro: bucket=8, chunk=4, 3-token prompt returned garbage)."""
+    model, lm_cfg, params = _stack()
+    T = 6
+    cases = [[3, 17, 42],                   # Sp=3 < bucket-C=4
+             [5, 1, 88, 200],               # Sp=4 == bucket-C boundary
+             [5, 1, 88, 200, 14],           # Sp=5, last tok in chunk 2
+             list(np.random.RandomState(7).randint(3, 250, 11))]  # 2 buckets
+    expected = [_reference_tokens(model, lm_cfg, params, p, T)
+                for p in cases]
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=4, max_len=64, block_steps=2,
+        prompt_bucket=8, max_prompt=16, eos_token_id=-1,
+        cache_dtype=jnp.float32, prefill_chunk=4)
+    reqs = [eng.submit(p, max_new_tokens=T) for p in cases]
+    eng.run_until_idle()
+    for req, exp, p in zip(reqs, expected, cases):
+        assert req.done and req.tokens == exp, (p, req.tokens, exp)
+
+
+def test_chunked_prefill_capped_bucket_parity():
+    """max_prompt that is not a multiple of prompt_bucket: the engine
+    rounds the cap down so every admission bucket tiles by the chunk
+    size (advisor r1 medium: a capped non-multiple bucket let the
+    chunk loop write past the bucket via clamped dynamic slices)."""
+    model, lm_cfg, params = _stack()
+    T = 6
+    p = list(np.random.RandomState(11).randint(3, 250, 13))
+    exp = _reference_tokens(model, lm_cfg, params, p, T)
+    # max_prompt=20 -> rounded down to 16; bucket for Sp=13 is 16
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=2,
+        prompt_bucket=8, max_prompt=20, eos_token_id=-1,
+        cache_dtype=jnp.float32, prefill_chunk=8)
+    assert eng.max_prompt == 16
+    r = eng.submit(p, max_new_tokens=T)
+    eng.run_until_idle()
+    assert r.done and r.tokens == exp, (r.tokens, exp)
+
+
 def test_engine_image_ladder_forcing():
     """With a ladder, the engine mirrors AutoImageTokenGenerationProcessor
     (reference mllm.py:18-43): a prompt ending in <img> force-decodes the
