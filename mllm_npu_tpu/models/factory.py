@@ -46,9 +46,20 @@ class ModelBundle:
 
 
 def _maybe(path) -> Optional[str]:
-    if path and Path(str(path)).exists():
+    """Resolve a configured checkpoint path. A configured-but-absent
+    path RAISES outside DEBUG (the reference's ``from_pretrained`` would
+    throw too) — silently random-initializing a serving/eval model on a
+    typo'd path was a round-1 footgun. Under DEBUG_FLAG missing paths
+    are the expected mode and resolve to None (random tiny init)."""
+    if not path:
+        return None
+    if Path(str(path)).exists():
         return str(path)
-    return None
+    if _debug():
+        return None
+    raise FileNotFoundError(
+        f"configured checkpoint path does not exist: {path!r} "
+        f"(set DEBUG_FLAG=True for checkpoint-free tiny models)")
 
 
 # ---------------------------------------------------------------------------
@@ -453,12 +464,17 @@ def build_sdxl_adapter(resampler: Optional[dict] = None,
             if res_sd:
                 res_params = {"params": W.torch_to_flax_perceiver(res_sd)}
             if unet_sd:
-                # tuned subset (to_k/to_v): merge over the base unet
-                tuned = W.torch_to_flax_unet(
-                    {**{k: v for k, v in unet_sd.items()}}, ucfg) \
-                    if len(unet_sd) > 500 else None
-                if tuned is not None:
-                    unet_params = {"params": tuned}
+                if "conv_in.weight" in unet_sd:
+                    # full UNet state dict (full-ft adapter checkpoint)
+                    unet_params = {"params": W.torch_to_flax_unet(
+                        unet_sd, ucfg)}
+                else:
+                    # tuned subset (the to_k/to_v keys SEED-X actually
+                    # trains, reference adapter_modules.py:301-312):
+                    # merge key-by-key over the base UNet — dropping it
+                    # silently would discard the detokenizer's training
+                    unet_params = W.merge_partial_unet_state(
+                        unet_params, unet_sd)
 
     cls = SDXLAdapterWithLatentImage if with_latent_image else SDXLAdapter
     adapter = cls(unet_module=unet, unet_params=unet_params,

@@ -476,6 +476,129 @@ def torch_to_flax_unet(sd: Dict[str, Any], config) -> dict:
     return tree
 
 
+def _unet_torch_key_to_flax(key: str):
+    """One diffusers UNet state-dict key → (flax param path tuple,
+    tensor transform). Covers every param family torch_to_flax_unet
+    handles; raises KeyError on anything else (loud, not silent)."""
+    import re
+
+    def lin_or_conv(t):
+        # weight [O,I] linear -> kernel [I,O]; [O,I,kh,kw] conv -> HWIO
+        if t.ndim == 4:
+            return t.transpose(2, 3, 1, 0)
+        if t.ndim == 2:
+            return t.T
+        return t
+
+    parts = key.split(".")
+    leafname = {"weight": None, "bias": "bias"}  # resolved per family
+    # --- locate the top-level flax module name -------------------------
+    if parts[0] in ("conv_in", "conv_out"):
+        base, rest = (parts[0],), parts[1:]
+    elif parts[0] in ("time_embedding", "add_embedding"):
+        base, rest = (parts[0], parts[1]), parts[2:]
+    elif parts[0] == "conv_norm_out":
+        base, rest = ("conv_norm_out",), parts[1:]
+    elif parts[0] in ("down_blocks", "up_blocks"):
+        side = "down" if parts[0] == "down_blocks" else "up"
+        bi = int(parts[1])
+        kind = parts[2]
+        if kind == "resnets":
+            base = (f"{side}_{bi}_res_{int(parts[3])}",)
+            rest = parts[4:]
+        elif kind == "attentions":
+            base = (f"{side}_{bi}_attn_{int(parts[3])}",)
+            rest = parts[4:]
+        elif kind in ("downsamplers", "upsamplers"):
+            base = (f"{side}_{bi}_{kind[:-2]}", "conv")  # downsample/upsample
+            rest = parts[5:]  # skip the ".0.conv"
+        else:
+            raise KeyError(key)
+    elif parts[0] == "mid_block":
+        if parts[1] == "resnets":
+            base, rest = (f"mid_res_{int(parts[2])}",), parts[3:]
+        elif parts[1] == "attentions":
+            base, rest = ("mid_attn",), parts[3:]
+        else:
+            raise KeyError(key)
+    else:
+        raise KeyError(key)
+
+    # --- walk the remaining diffusers path ------------------------------
+    path = list(base)
+    i = 0
+    norm_names = {"norm", "norm1", "norm2", "norm3", "group_norm",
+                  "conv_norm_out"}
+    while i < len(rest) - 1:
+        p = rest[i]
+        if p == "transformer_blocks":
+            path.append(f"blocks_{int(rest[i + 1])}")
+            i += 2
+        elif p == "ff":
+            # ff.net.0.proj -> ff/proj ; ff.net.2 -> ff/out
+            path.append("ff")
+            if rest[i + 1] == "net" and rest[i + 2] == "0":
+                path.append("proj")
+                i += 4  # net, 0, proj
+            else:
+                path.append("out")
+                i += 3  # net, 2
+        elif p == "to_out":
+            path.append("to_out")
+            i += 2  # skip the ".0"
+        else:
+            path.append(p)
+            i += 1
+    leaf = rest[-1]
+    last_mod = path[-1]
+    is_norm = last_mod in norm_names
+    if leaf == "weight":
+        if is_norm:
+            return tuple(path) + ("scale",), lambda t: t
+        return tuple(path) + ("kernel",), lin_or_conv
+    if leaf == "bias":
+        return tuple(path) + ("bias",), lambda t: t
+    raise KeyError(key)
+
+
+def merge_partial_unet_state(unet_params: dict, unet_sd: Dict[str, Any],
+                             strict: bool = True) -> dict:
+    """Merge a PARTIAL diffusers UNet state dict (e.g. the to_k/to_v
+    subset a SEED-X detokenizer checkpoint actually trains, reference
+    adapter_modules.py:301-312) key-by-key over full base flax params.
+
+    Raises on unknown keys / missing targets / shape mismatches when
+    ``strict`` (a typo'd key must never be silently discarded)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(unet_params["params"])
+    merged = 0
+    for key, tensor in unet_sd.items():
+        try:
+            path, tf = _unet_torch_key_to_flax(key)
+        except KeyError:
+            if strict:
+                raise KeyError(f"untranslatable UNet checkpoint key: "
+                               f"{key!r}")
+            continue
+        if path not in flat:
+            if strict:
+                raise KeyError(f"UNet checkpoint key {key!r} maps to "
+                               f"{'/'.join(path)} which is not in the "
+                               f"model params")
+            continue
+        arr = tf(_t(tensor))
+        if tuple(arr.shape) != tuple(flat[path].shape):
+            raise ValueError(
+                f"shape mismatch merging {key!r}: checkpoint "
+                f"{arr.shape} vs model {flat[path].shape}")
+        flat[path] = arr
+        merged += 1
+    out = dict(unet_params)
+    out["params"] = flax.traverse_util.unflatten_dict(flat)
+    return out
+
+
 def _vae_attn(sd, pre):
     # new diffusers uses to_q/to_k/to_v/to_out.0; old used query/key/value
     names = (("to_q", "to_k", "to_v", "to_out.0")

@@ -215,3 +215,98 @@ def test_vae_conversion_matches_module_tree():
     assert not extra, f"extra: {extra[:8]}"
     out = vae.apply({"params": tree}, jnp.ones((1, 32, 32, 3)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_unet_and_params():
+    cfg = UNetConfig.tiny()
+    unet = UNet2DConditionModel(cfg)
+    S = cfg.sample_size
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.ones((1, S, S, cfg.in_channels)),
+        jnp.ones((1,)), jnp.ones((1, 4, cfg.cross_attention_dim)),
+        {"text_embeds": jnp.ones((1, 32)), "time_ids": jnp.ones((1, 6))})
+    return cfg, unet, params
+
+
+def test_partial_unet_merge_tuned_subset():
+    """A SEED-X detokenizer adapter checkpoint's tuned subset — attn2
+    to_k/to_v only (reference adapter_modules.py:301-312) — must merge
+    key-by-key over the base UNet params, not be silently discarded
+    (round-1 factory dropped any unet_sd with <=500 keys)."""
+    from mllm_npu_tpu.utils.weights import merge_partial_unet_state
+
+    cfg, unet, params = _tiny_unet_and_params()
+    full_sd = synth_unet_sd(cfg)
+    subset = {k: v for k, v in full_sd.items()
+              if ".attn2.to_k." in k or ".attn2.to_v." in k}
+    assert subset, "tiny config must have cross-attn blocks"
+    merged = merge_partial_unet_state(params, subset)
+
+    flat_base = flax.traverse_util.flatten_dict(params["params"])
+    flat_merged = flax.traverse_util.flatten_dict(merged["params"])
+    assert set(flat_base) == set(flat_merged)
+    changed = {k for k in flat_base
+               if not np.array_equal(np.asarray(flat_base[k]),
+                                     np.asarray(flat_merged[k]))}
+    # exactly the attn2 to_k/to_v kernels changed, nothing else
+    want_changed = {k for k in flat_base
+                    if k[-1] == "kernel" and k[-2] in ("to_k", "to_v")
+                    and k[-3] == "attn2"}
+    assert changed == want_changed, changed ^ want_changed
+    # and the values are the transposed torch weights
+    for tk, tv in subset.items():
+        from mllm_npu_tpu.utils.weights import _unet_torch_key_to_flax
+        path, tf = _unet_torch_key_to_flax(tk)
+        np.testing.assert_array_equal(np.asarray(flat_merged[path]),
+                                      tf(tv.numpy()))
+
+
+def test_partial_unet_merge_full_sd_equals_converter():
+    """Merging the FULL synthetic state dict through the per-key
+    translator must reproduce torch_to_flax_unet exactly — validates
+    the key translation across every param family."""
+    from mllm_npu_tpu.utils.weights import merge_partial_unet_state
+
+    cfg, unet, params = _tiny_unet_and_params()
+    sd = synth_unet_sd(cfg)
+    merged = merge_partial_unet_state(params, sd)["params"]
+    want = torch_to_flax_unet(sd, cfg)
+    fm = flax.traverse_util.flatten_dict(merged)
+    fw = flax.traverse_util.flatten_dict(want)
+    assert set(fm) == set(fw)
+    for k in fw:
+        np.testing.assert_array_equal(np.asarray(fm[k]),
+                                      np.asarray(fw[k]), err_msg=str(k))
+
+
+def test_partial_unet_merge_rejects_unknown_and_mismatched():
+    import pytest
+
+    from mllm_npu_tpu.utils.weights import merge_partial_unet_state
+
+    cfg, unet, params = _tiny_unet_and_params()
+    with pytest.raises(KeyError):
+        merge_partial_unet_state(params, {"not.a.real.key":
+                                          torch.randn(3, 3)})
+    sd = synth_unet_sd(cfg)
+    k = next(k for k in sd if ".attn2.to_k.weight" in k)
+    with pytest.raises(ValueError):
+        merge_partial_unet_state(params, {k: torch.randn(7, 9)})
+
+
+def test_factory_missing_checkpoint_raises(monkeypatch, tmp_path):
+    """Outside DEBUG a configured-but-absent checkpoint path must raise
+    (reference from_pretrained throws), never silently random-init."""
+    import pytest
+
+    from mllm_npu_tpu.models import factory
+
+    monkeypatch.delenv("DEBUG_FLAG", raising=False)
+    with pytest.raises(FileNotFoundError):
+        factory.build_llama3(
+            pretrained_model_name_or_path=str(tmp_path / "nope"))
+    # DEBUG mode keeps the checkpoint-free workflow working
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    bundle = factory.build_llama3(
+        pretrained_model_name_or_path=str(tmp_path / "nope"))
+    assert bundle.params is None
