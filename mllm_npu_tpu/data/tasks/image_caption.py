@@ -336,65 +336,66 @@ def build_caption_datapipes_with_pixels(
         cycle_count=None, multi_resolution=False, resolution_grids=None,
         base_resolution=224, dataset_name=None, max_images_per_batch=None,
         seed=888, shard_for_host=True, packing=False, **kw):
-    """Generator-pipeline equivalent of the reference builder
+    """Checkpointable pipeline equivalent of the reference builder
     (image_caption.py:540-641). Yields per-sample dicts; with batch_size,
-    yields static collated batches."""
+    yields static collated batches. Returns a resumable stream (see
+    streams.SampleStream) whose state is {"file_idx", "pos"}."""
     grid_pinpoints = []
     if multi_resolution:
         grid_pinpoints = grid_pinpoints_from_resolution_grids(
             list(resolution_grids), base_resolution)
 
-    rng = random.Random(seed)
-
-    def sample_iter() -> Iterator[dict]:
+    def list_files():
         files = streams.list_files(data_dir, "*.tar")
-        if shard_for_host:
-            files = streams.shard_for_host(files)
-        for tar_path in streams.shuffled(
-                streams.cycle(files, cycle_count), 64, rng):
-            for grouped in streams.group_webdataset(
-                    streams.iter_tar_members(tar_path)):
-                data = decode_image_text_pair(
-                    grouped, tokenizer, image_transform=image_transform,
-                    max_length=max_length,
-                    use_caption_in_metadata=use_caption_in_metadata,
-                    instruction_prompt=instruction_prompt,
-                    add_gen_prompt=add_gen_prompt,
-                    caption_key_in_metadata=caption_key_in_metadata,
-                    min_resolution=min_resolution,
-                    min_aspect_ratio=min_aspect_ratio,
-                    img_first_ratio=img_first_ratio,
-                    num_img_in_tokens=num_img_in_tokens,
-                    num_img_out_tokens=num_img_out_tokens,
-                    assure_text=assure_text,
-                    multi_resolution=multi_resolution,
-                    grid_pinpoints=grid_pinpoints,
-                    base_resolution=base_resolution, rng=rng)
-                data = unwarp_data({"data": data})
-                if multi_resolution:
-                    data = tokenize_text(
-                        data, tokenizer, turn_sep=turn_sep,
-                        img_first_ratio=img_first_ratio,
-                        max_length=max_length,
-                        num_img_in_tokens=num_img_in_tokens,
-                        num_img_out_tokens=num_img_out_tokens, rng=rng)
-                elif "text" in data and "input_ids" not in data:
-                    enc = encode_caption_input_ids(
-                        data["text"], tokenizer,
-                        img_first_ratio=img_first_ratio,
-                        max_length=max_length,
-                        num_img_in_tokens=num_img_in_tokens,
-                        num_img_out_tokens=num_img_out_tokens, rng=rng)
-                    data.update(enc)
-                if not filter_data_with_similarity(
-                        data, similarity_thr, assure_text):
-                    continue
-                if "input_ids" not in data:
-                    continue
-                yield select(data)
+        return streams.shard_for_host(files) if shard_for_host else files
 
+    def records(tar_path, _fi):
+        return streams.group_webdataset(streams.iter_tar_members(tar_path))
+
+    def decode(grouped, rng):
+        data = decode_image_text_pair(
+            grouped, tokenizer, image_transform=image_transform,
+            max_length=max_length,
+            use_caption_in_metadata=use_caption_in_metadata,
+            instruction_prompt=instruction_prompt,
+            add_gen_prompt=add_gen_prompt,
+            caption_key_in_metadata=caption_key_in_metadata,
+            min_resolution=min_resolution,
+            min_aspect_ratio=min_aspect_ratio,
+            img_first_ratio=img_first_ratio,
+            num_img_in_tokens=num_img_in_tokens,
+            num_img_out_tokens=num_img_out_tokens,
+            assure_text=assure_text,
+            multi_resolution=multi_resolution,
+            grid_pinpoints=grid_pinpoints,
+            base_resolution=base_resolution, rng=rng)
+        data = unwarp_data({"data": data})
+        if multi_resolution:
+            data = tokenize_text(
+                data, tokenizer, turn_sep=turn_sep,
+                img_first_ratio=img_first_ratio,
+                max_length=max_length,
+                num_img_in_tokens=num_img_in_tokens,
+                num_img_out_tokens=num_img_out_tokens, rng=rng)
+        elif "text" in data and "input_ids" not in data:
+            enc = encode_caption_input_ids(
+                data["text"], tokenizer,
+                img_first_ratio=img_first_ratio,
+                max_length=max_length,
+                num_img_in_tokens=num_img_in_tokens,
+                num_img_out_tokens=num_img_out_tokens, rng=rng)
+            data.update(enc)
+        if not filter_data_with_similarity(
+                data, similarity_thr, assure_text):
+            return None
+        if "input_ids" not in data:
+            return None
+        return select(data)
+
+    stream = streams.SampleStream(list_files, records, decode, seed=seed,
+                                  cycle_count=cycle_count)
     if batch_size is None:
-        return sample_iter()
+        return stream
 
     # the transform resizes every patch to its own output size
     img_size = getattr(image_transform, "image_size", base_resolution)
@@ -405,33 +406,23 @@ def build_caption_datapipes_with_pixels(
             for g in grid_pinpoints)
     max_imgs = max_images_per_batch or batch_size * max_patches
 
-    def batch_iter() -> Iterator[dict]:
-        buf = []
-        for s in sample_iter():
-            buf.append(s)
-            if len(buf) == batch_size:
-                yield collate_static(
-                    buf, max_length=max_length, max_images=max_imgs,
-                    image_size=img_size,
-                    pad_token_id=tokenizer.pad_token_id,
-                    dataset_name=dataset_name)
-                buf = []
-
-    def packed_iter() -> Iterator[dict]:
+    if packing:
         # sample packing: segment-id rows (TPU throughput headroom the
         # reference leaves on the table, SURVEY.md §5.7). batch_size here
         # = samples gathered per packed batch; rows = batch_size // 2
         # (≈2x density at the reference's ~50%-padding lengths).
         from mllm_npu_tpu.data.utils import pack_samples
         rows = max(batch_size // 2, 1)
-        buf = []
-        for s in sample_iter():
-            buf.append(s)
-            if len(buf) == batch_size:
-                yield pack_samples(
-                    buf, max_length=max_length, max_rows=rows,
-                    max_images=max_imgs, image_size=img_size,
-                    dataset_name=dataset_name)
-                buf = []
 
-    return packed_iter() if packing else batch_iter()
+        def collate(buf):
+            return pack_samples(buf, max_length=max_length, max_rows=rows,
+                                max_images=max_imgs, image_size=img_size,
+                                dataset_name=dataset_name)
+    else:
+        def collate(buf):
+            return collate_static(buf, max_length=max_length,
+                                  max_images=max_imgs, image_size=img_size,
+                                  pad_token_id=tokenizer.pad_token_id,
+                                  dataset_name=dataset_name)
+
+    return streams.BatchingStream(stream, collate, batch_size)

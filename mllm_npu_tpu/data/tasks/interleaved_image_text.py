@@ -178,30 +178,30 @@ def build_interleave_datapipes_with_pixels(
     if multi_resolution:
         grid_pinpoints = grid_pinpoints_from_resolution_grids(
             list(resolution_grids), base_resolution)
-    rng = random.Random(seed)
 
-    def sample_iter() -> Iterator[dict]:
+    def list_files():
         files = streams.list_files(data_dir, "*.tar")
-        if shard_for_host:
-            files = streams.shard_for_host(files)
-        for tar_path in streams.shuffled(streams.cycle(files, cycle_count),
-                                         16, rng):
-            for inner, data in streams.iter_tar_members(tar_path):
-                if not inner.endswith(".pkl"):
-                    continue
-                s = decode_interleave_data(
-                    data, tokenizer, image_transform=image_transform,
-                    max_length=max_length, img_first_ratio=img_first_ratio,
-                    num_img_in_tokens=num_img_in_tokens,
-                    num_img_out_tokens=num_img_out_tokens,
-                    multi_resolution=multi_resolution,
-                    grid_pinpoints=grid_pinpoints,
-                    base_resolution=base_resolution, rng=rng)
-                if "input_ids" in s:
-                    yield s
+        return streams.shard_for_host(files) if shard_for_host else files
 
+    def records(tar_path, _fi):
+        return (data for inner, data in streams.iter_tar_members(tar_path)
+                if inner.endswith(".pkl"))
+
+    def decode(data, rng):
+        s = decode_interleave_data(
+            data, tokenizer, image_transform=image_transform,
+            max_length=max_length, img_first_ratio=img_first_ratio,
+            num_img_in_tokens=num_img_in_tokens,
+            num_img_out_tokens=num_img_out_tokens,
+            multi_resolution=multi_resolution,
+            grid_pinpoints=grid_pinpoints,
+            base_resolution=base_resolution, rng=rng)
+        return s if "input_ids" in s else None
+
+    stream = streams.SampleStream(list_files, records, decode, seed=seed,
+                                  cycle_count=cycle_count)
     if batch_size is None:
-        return sample_iter()
+        return stream
 
     # the transform resizes every patch to its own output size
     img_size = getattr(image_transform, "image_size", base_resolution)
@@ -213,16 +213,10 @@ def build_interleave_datapipes_with_pixels(
     # interleaved rows can hold several images; budget generously
     max_imgs = max_images_per_batch or batch_size * max_patches * 2
 
-    def batch_iter() -> Iterator[dict]:
-        buf = []
-        for s in sample_iter():
-            buf.append(s)
-            if len(buf) == batch_size:
-                yield collate_static(
-                    buf, max_length=max_length, max_images=max_imgs,
-                    image_size=img_size,
-                    pad_token_id=tokenizer.pad_token_id,
-                    dataset_name=dataset_name)
-                buf = []
+    def collate(buf):
+        return collate_static(buf, max_length=max_length,
+                              max_images=max_imgs, image_size=img_size,
+                              pad_token_id=tokenizer.pad_token_id,
+                              dataset_name=dataset_name)
 
-    return batch_iter()
+    return streams.BatchingStream(stream, collate, batch_size)

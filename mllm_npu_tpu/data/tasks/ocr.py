@@ -164,29 +164,31 @@ def build_ocr_datapipes_caption(data_dir, image_dir=None, tokenizer=None,
     if multi_resolution:
         grid_pinpoints = grid_pinpoints_from_resolution_grids(
             list(resolution_grids), base_resolution)
-    rng = random.Random(seed)
-
-    def sample_iter() -> Iterator[dict]:
+    def list_files():
         files = streams.list_files(data_dir, "*.jsonl")
-        if shard_for_host:
-            files = streams.shard_for_host(files)
-        for path in streams.shuffled(streams.cycle(files, cycle_count),
-                                     16, rng):
-            for _k, rec in streams.iter_jsonl(path):
-                s = decode_llava_data_caption(
-                    rec, image_dir, tokenizer,
-                    image_transform=image_transform,
-                    caption_prompt=caption_prompt, max_length=max_length,
-                    num_img_in_tokens=num_img_in_tokens,
-                    num_img_out_tokens=num_img_out_tokens,
-                    multi_resolution=multi_resolution,
-                    grid_pinpoints=grid_pinpoints,
-                    base_resolution=base_resolution)
-                if "input_ids" in s:
-                    yield s
+        return streams.shard_for_host(files) if shard_for_host else files
 
+    def records(path, fi):
+        return streams.permuted_lines(path, seed, fi)
+
+    def decode(line, rng):
+        import json as _json
+        rec = _json.loads(line)
+        s = decode_llava_data_caption(
+            rec, image_dir, tokenizer,
+            image_transform=image_transform,
+            caption_prompt=caption_prompt, max_length=max_length,
+            num_img_in_tokens=num_img_in_tokens,
+            num_img_out_tokens=num_img_out_tokens,
+            multi_resolution=multi_resolution,
+            grid_pinpoints=grid_pinpoints,
+            base_resolution=base_resolution)
+        return s if "input_ids" in s else None
+
+    stream = streams.SampleStream(list_files, records, decode, seed=seed,
+                                  cycle_count=cycle_count)
     if batch_size is None:
-        return sample_iter()
+        return stream
 
     # the transform resizes every patch to its own output size
     img_size = getattr(image_transform, "image_size", base_resolution)
@@ -197,16 +199,13 @@ def build_ocr_datapipes_caption(data_dir, image_dir=None, tokenizer=None,
             for g in grid_pinpoints)
     max_imgs = max_images_per_batch or batch_size * max_patches
 
-    def batch_iter() -> Iterator[dict]:
-        buf = []
-        for s in streams.shuffled(sample_iter(), 128, rng):
-            buf.append(s)
-            if len(buf) == batch_size:
-                yield collate_static(
-                    buf, max_length=max_length, max_images=max_imgs,
-                    image_size=img_size,
-                    pad_token_id=tokenizer.pad_token_id,
-                    dataset_name=dataset_name)
-                buf = []
+    # sample order is randomized by the per-file line permutation in
+    # permuted_lines (index-derived, checkpointable) — no streaming
+    # shuffle buffer whose contents would be checkpoint state
+    def collate(buf):
+        return collate_static(buf, max_length=max_length,
+                              max_images=max_imgs, image_size=img_size,
+                              pad_token_id=tokenizer.pad_token_id,
+                              dataset_name=dataset_name)
 
-    return batch_iter()
+    return streams.BatchingStream(stream, collate, batch_size)

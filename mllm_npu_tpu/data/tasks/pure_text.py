@@ -45,35 +45,34 @@ def build_text_datapipes(data_dir, tokenizer=None, image_transform=None,
                          max_length=512, batch_size=None, cycle_count=None,
                          dataset_name=None, image_size=448, seed=888,
                          max_images_per_batch=1, shard_for_host=True, **kw):
-    rng = random.Random(seed)
-
-    def sample_iter() -> Iterator[dict]:
+    def list_files():
         files = streams.list_files(data_dir, "*.jsonl")
-        if shard_for_host:
-            files = streams.shard_for_host(files)
-        for path in streams.shuffled(streams.cycle(files, cycle_count),
-                                     16, rng):
-            for _key, rec in streams.iter_jsonl(path):
-                s = decode_text_pretrain(rec, tokenizer, max_length)
-                if "input_ids" in s:
-                    yield s
+        return streams.shard_for_host(files) if shard_for_host else files
 
+    def records(path, fi):
+        return streams.permuted_lines(path, seed, fi)
+
+    def decode(line, rng):
+        import json as _json
+        rec = _json.loads(line)
+        s = decode_text_pretrain(rec, tokenizer, max_length)
+        return s if "input_ids" in s else None
+
+    stream = streams.SampleStream(list_files, records, decode, seed=seed,
+                                  cycle_count=cycle_count)
     if batch_size is None:
-        return sample_iter()
+        return stream
 
-    def batch_iter() -> Iterator[dict]:
-        buf = []
-        for s in streams.shuffled(sample_iter(), 512, rng):
-            buf.append(s)
-            if len(buf) == batch_size:
-                yield collate_static(
-                    buf, max_length=max_length,
-                    max_images=max_images_per_batch, image_size=image_size,
-                    pad_token_id=tokenizer.pad_token_id,
-                    dataset_name=dataset_name)
-                buf = []
+    # sample order randomized by the per-file line permutation
+    # (index-derived, checkpointable) — no streaming shuffle buffer
+    def collate(buf):
+        return collate_static(buf, max_length=max_length,
+                              max_images=max_images_per_batch,
+                              image_size=image_size,
+                              pad_token_id=tokenizer.pad_token_id,
+                              dataset_name=dataset_name)
 
-    return batch_iter()
+    return streams.BatchingStream(stream, collate, batch_size)
 
 
 # reference alias (pure_text.py builder name)

@@ -51,6 +51,7 @@ class TrainArgs:
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     mixed_precision: str = "bf16"
+    dataloader_workers: int = 0   # >0: process pool (reference uses 8)
     num_train_epochs: int = 10
     max_steps: int = 100_000
     save_steps: int = 1000
@@ -106,8 +107,7 @@ def main(argv=None):
     args = parse_args(argv)
 
     from mllm_npu_tpu.configs import instantiate, load_config
-    from mllm_npu_tpu.data.datapipes import build_multi_datapipes
-    from mllm_npu_tpu.data.dataloader import DataLoader
+    from mllm_npu_tpu.data.dataloader import make_dataloader
     from mllm_npu_tpu.models.factory import init_assembly_params
     from mllm_npu_tpu.parallel import MeshConfig, build_mesh
     from mllm_npu_tpu.parallel.mesh import maybe_init_distributed
@@ -137,15 +137,13 @@ def main(argv=None):
         if "processor" in model_cfg["mllm"] else None
     ds_cfg = load_config(args.train_dataset)
 
-    def pipe_factory(seed):
-        return build_multi_datapipes(
-            ds_cfg["datapipes"], tokenizer=tokenizer,
-            image_transform=processor,
-            sample_weights=ds_cfg.get("sample_weights"), seed=seed)
+    pipe_factory = PipeFactory(ds_cfg, tokenizer, processor)
 
-    loader = DataLoader(pipe_factory, prefetch=4)
-    data_iter = iter(loader)
-    first_batch = next(data_iter)
+    # probe one batch for compile shapes from a throwaway pipe — the
+    # real loader must start at batch 0 (or the restored position)
+    first_batch = next(iter(pipe_factory(888)))
+    loader = make_dataloader(pipe_factory, prefetch=4,
+                             num_workers=args.dataloader_workers)
     example = {k: v for k, v in first_batch.items()
                if isinstance(v, np.ndarray)}
     example.setdefault("patch_positions", None)
@@ -183,6 +181,7 @@ def main(argv=None):
     start_step = int(resumed_step or args.resume_steps or 0)
     if data_state:
         loader.load_state_dict(data_state)
+    data_iter = iter(loader)   # starts at batch 0 or the restored position
     if resumed_step:
         log.info("resumed from checkpoint-%d", resumed_step)
 
@@ -205,10 +204,19 @@ def main(argv=None):
     micro = []
     t0 = time.time()
     step = start_step
+    epoch_mark = loader.state_dict()["steps"]
     while step < args.max_steps:
         try:
             batch = next(data_iter)
         except StopIteration:
+            # epoch boundary: reseed so the next pass visits a different
+            # order (reference train.py:318-323 semantics), then restart
+            consumed = loader.state_dict()["steps"]
+            if consumed == epoch_mark:
+                raise RuntimeError("data stream yielded no batches — "
+                                   "check the dataset config paths")
+            epoch_mark = consumed
+            loader.next_epoch(resume_steps=start_step)
             data_iter = iter(loader)
             continue
         batch = _normalize_batch(
@@ -255,6 +263,23 @@ def main(argv=None):
     mgr.wait()
     mgr.close()
     log.info("training done at step %d", step)
+
+
+class PipeFactory:
+    """Picklable pipeline factory so spawn-based dataloader workers can
+    rebuild the mixture in a fresh process (no JAX, no fork hazards)."""
+
+    def __init__(self, ds_cfg: dict, tokenizer, processor):
+        self.ds_cfg = ds_cfg
+        self.tokenizer = tokenizer
+        self.processor = processor
+
+    def __call__(self, seed):
+        from mllm_npu_tpu.data.datapipes import build_multi_datapipes
+        return build_multi_datapipes(
+            self.ds_cfg["datapipes"], tokenizer=self.tokenizer,
+            image_transform=self.processor,
+            sample_weights=self.ds_cfg.get("sample_weights"), seed=seed)
 
 
 def _normalize_batch(batch: dict) -> dict:
