@@ -66,10 +66,104 @@ def test_loss_identical_across_meshes():
 
 
 def test_grad_accum_matches_big_batch():
-    jitted, state, batch = _setup(MeshConfig(data=8), grad_accum=2)
-    new_state, loss, _ = jitted(state, batch)
-    assert np.isfinite(float(loss))
-    assert int(new_state.step) == 1
+    """NUMERIC equivalence (reference accelerator.accumulate semantics,
+    train.py:91-96,326): one step of ga=2 x B/2 must produce the same
+    loss and updated params as ga=1 x B, because causal_lm_loss is a
+    global mean and both micros carry the same supervised-token count."""
+    spec = TinySpec(batch=4, seq=128)
+    mesh = build_mesh(MeshConfig(data=2, fsdp=4))
+    model, _, _ = build_tiny_mllm(spec)
+    m0 = synthetic_batch(spec, cmp_images=1, rng=0)
+    m1 = synthetic_batch(spec, cmp_images=1, rng=1)
+    params = model.init(jax.random.PRNGKey(0), **m0)
+    opt_cfg = OptimizerConfig(lr=1e-3, warmup_steps=0, total_steps=10)
+
+    def one_step(grad_accum, batch):
+        # fresh param buffers: the jitted step donates its inputs
+        fresh = jax.tree_util.tree_map(
+            lambda x: jnp.array(np.asarray(x)), params)
+        state = create_train_state(fresh, opt_cfg)
+        step = make_train_step(_loss_fn(model), grad_accum=grad_accum)
+        jitted, state_sharding, batch_shardings = compile_train_step(
+            step, state, batch, mesh)
+        state = shard_train_state(state, state_sharding)
+        batch = jax.tree_util.tree_map(jax.device_put, batch,
+                                       batch_shardings)
+        new_state, loss, _ = jitted(state, batch)
+        return new_state, float(loss)
+
+    accum_batch = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), m0, m1)
+    # big batch: seq keys concat on B, image pool concat on N
+    seq_keys = {"input_ids", "attention_mask", "labels",
+                "ids_cmp_mask", "ids_gen_mask"}
+    big_batch = {k: jnp.concatenate([m0[k], m1[k]], axis=0)
+                 for k in m0}
+    assert set(seq_keys) <= set(big_batch)
+
+    state_a, loss_a = one_step(2, accum_batch)
+    state_b, loss_b = one_step(1, big_batch)
+    assert abs(loss_a - loss_b) < 2e-5, (loss_a, loss_b)
+    for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        # Adam divides by sqrt(v): near-zero grads amplify fp32 accum
+        # noise into the update, so allow ~10% of the 1e-3 lr step size
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-4, rtol=3e-5)
+
+
+def test_packed_matches_padded_loss():
+    """pack_samples + segment-id attention + per-segment positions must
+    reproduce the padded-batch loss exactly: same supervised-target set,
+    cross-sample first tokens masked, attention blocked across segments
+    (SURVEY.md §5.7 headroom claim, proven numerically)."""
+    from mllm_npu_tpu.data.utils import collate_static, pack_samples
+
+    spec = TinySpec(batch=4, seq=64)
+    model, _, _ = build_tiny_mllm(spec)
+    rs = np.random.RandomState(3)
+    nq, H = spec.nq, spec.image_size
+    samples = []
+    for i in range(4):
+        L = int(rs.randint(24, 30))
+        ids = rs.randint(10, spec.vocab, (L,)).astype(np.int32)
+        labels = ids.copy()
+        cmp_mask = np.zeros((L,), bool)
+        cmp_mask[2:2 + nq] = True
+        labels[2:2 + nq] = -100
+        samples.append({
+            "input_ids": ids,
+            "attention_mask": np.ones((L,), np.int32),
+            "labels": labels,
+            "ids_cmp_mask": cmp_mask,
+            "ids_gen_mask": np.zeros((L,), bool),
+            "images": rs.randn(1, H, H, 3).astype(np.float32),
+            "embeds_cmp_mask": np.array([True]),
+            "embeds_gen_mask": np.array([False]),
+            "patch_position": rs.rand(1, 2).astype(np.float32),
+        })
+
+    padded = collate_static(samples, max_length=64, max_images=4,
+                            image_size=H, pad_token_id=0)
+    packed = pack_samples(samples, max_length=64, max_rows=2,
+                          max_images=4, image_size=H)
+    # all 4 samples must actually have been packed into the 2 rows
+    assert int((packed["attention_mask"] > 0).sum()) == \
+        int(padded["attention_mask"].sum())
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        **{k: jnp.asarray(v) for k, v in padded.items()
+           if k != "dataset_name"})
+
+    def lm_loss(batch):
+        out = model.apply(
+            params, **{k: jnp.asarray(v) for k, v in batch.items()
+                       if k != "dataset_name"})
+        return float(out["lm_loss"])
+
+    lp, lk = lm_loss(padded), lm_loss(packed)
+    assert abs(lp - lk) < 2e-5, (lp, lk)
 
 
 def test_frozen_params_unchanged_after_step():
