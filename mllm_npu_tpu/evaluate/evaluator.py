@@ -45,14 +45,14 @@ class EvalModel:
         ids = [tok.bos_token_id] + tok.encode(prompt,
                                               add_special_tokens=False)
         gen = self.engine.generator
-        old = gen.sampling
         import dataclasses
-        gen.sampling = dataclasses.replace(old,
-                                           max_new_tokens=max_new_tokens)
-        try:
-            out = gen.generate(jnp.asarray(np.asarray(ids, np.int32)[None]))
-        finally:
-            gen.sampling = old
+        # per-call sampling override (keys its own compiled closure) —
+        # no mutation of the shared generator, safe under the batched
+        # engine's concurrency
+        out = gen.generate(
+            jnp.asarray(np.asarray(ids, np.int32)[None]),
+            sampling=dataclasses.replace(gen.sampling,
+                                         max_new_tokens=max_new_tokens))
         return self.engine._decode_text(np.asarray(out["generate_ids"][0]))
 
     # ---- image comprehension (mme/mmvet) ----------------------------------

@@ -61,19 +61,34 @@ class MLLMGenerator:
                  cache_dtype=jnp.bfloat16,
                  cast_params_bf16: bool = False,
                  quantize_int8: bool = False,
+                 merge_lora: bool = False,
                  fuse_projections: bool = False,
+                 fuse_shards: int = 1,
                  unroll_layers: bool = False,
                  speculative_k: int = 0,
                  speculative_ngram: int = 3):
+        if lm_config.lora_rank > 0 and (merge_lora or fuse_projections
+                                        or quantize_int8):
+            # fold adapters into the base kernels for deployment (peft
+            # merge_and_unload parity) — fused/int8 layouts require the
+            # plain kernel layout, and merged decode also drops the
+            # adapter matmuls from every step
+            from mllm_npu_tpu.utils.weights import merge_lora_params
+            alpha = lm_config.lora_alpha
+            model, lm_config, params = rebuild_llm(
+                model, lm_config, params,
+                lambda p: merge_lora_params(p, alpha),
+                lora_rank=0)
         if fuse_projections:
             # one qkv matvec + one gate_up matvec per block: fewer
-            # kernel launches in the decode while_loop
+            # kernel launches in the decode while_loop. fuse_shards > 1
+            # = tensor-parallel interleaved layout (set it to the mesh's
+            # tensor-axis size so shard slices never straddle q/k/v)
             from mllm_npu_tpu.utils.weights import fuse_llama_projections
-            assert lm_config.lora_rank == 0, \
-                "merge LoRA adapters before fusing projections"
             model, lm_config, params = rebuild_llm(
-                model, lm_config, params, fuse_llama_projections,
-                fused_projections=True)
+                model, lm_config, params,
+                lambda p: fuse_llama_projections(p, shards=fuse_shards),
+                fused_projections=True, fused_shards=fuse_shards)
         if cast_params_bf16:
             # inference is weight-bandwidth-bound (every decode step
             # streams all weights from HBM); bf16 storage halves it
@@ -83,11 +98,8 @@ class MLLMGenerator:
                 params)
         if quantize_int8:
             # int8 weight-only LLM: halve the weight traffic again
-            # (ops/quant.py). Not combinable with a LoRA'd LLM (merge
-            # the adapters first).
+            # (ops/quant.py). LoRA'd LLMs were auto-merged above.
             from mllm_npu_tpu.utils.weights import quantize_llama_params
-            assert lm_config.lora_rank == 0, \
-                "merge LoRA adapters before int8 quantization"
             model, lm_config, params = rebuild_llm(
                 model, lm_config, params, quantize_llama_params,
                 quantization="int8")
@@ -143,13 +155,16 @@ class MLLMGenerator:
     # -- compiled path ----------------------------------------------------
 
     def _get_compiled(self, prompt_len: int, has_images: bool,
-                      num_images: int):
-        key = (prompt_len, has_images, num_images)
+                      num_images: int, sampling=None):
+        # sampling is a trace-time constant of the jitted closure, so a
+        # per-call override participates in the cache key (frozen
+        # dataclass -> hashable); callers never mutate self.sampling
+        sampling = sampling if sampling is not None else self.sampling
+        key = (prompt_len, has_images, num_images, sampling)
         if key in self._compiled:
             return self._compiled[key]
 
         cfg = self.lm_config
-        sampling = self.sampling
         ladder = self.ladder
         spec_k = self.speculative_k if not sampling.do_sample else 0
         max_len = prompt_len + sampling.max_new_tokens + spec_k
@@ -214,10 +229,10 @@ class MLLMGenerator:
                         positions=pos_t, attn_mask=decode_am)
                     return logits, h, c
 
-                tokens, hiddens, done = speculative_decode_loop(
+                tokens, hiddens, done, _ = speculative_decode_loop(
                     step_multi, cache, first_token, first_hidden,
                     sampling, input_ids, ladder=ladder, k=spec_k,
-                    ngram=self.speculative_ngram)
+                    ngram=self.speculative_ngram, prompt_len=row_len[0])
                 return tokens, hiddens
 
             def step(tok, cache):
@@ -241,15 +256,19 @@ class MLLMGenerator:
     def generate(self, input_ids, *, prompt_mask=None, images=None,
                  embeds_cmp_mask=None, ids_cmp_mask=None,
                  patch_positions=None, rng=None,
-                 num_img_gen_tokens: int = 64, max_gen_imgs: int = 4):
+                 num_img_gen_tokens: int = 64, max_gen_imgs: int = 4,
+                 sampling=None):
         """input_ids: [B, Sp]; optional ``prompt_mask`` [B, Sp] enables
-        right-padded batches with per-row prompt lengths.
+        right-padded batches with per-row prompt lengths. ``sampling``
+        overrides the generator's SamplingConfig for this call (keys a
+        separate compiled closure; safe under concurrency).
 
         Returns dict with generated ids [B, T], per-step hidden states,
         and (for SEED) image-generation features."""
+        eff_sampling = sampling if sampling is not None else self.sampling
         # a window can never exceed the decode budget
         num_img_gen_tokens = min(num_img_gen_tokens,
-                                 self.sampling.max_new_tokens)
+                                 eff_sampling.max_new_tokens)
         input_ids = jnp.asarray(input_ids, jnp.int32)
         if input_ids.ndim == 1:
             input_ids = input_ids[None]
@@ -262,7 +281,7 @@ class MLLMGenerator:
             prompt_mask = jnp.ones((B, Sp), jnp.int32)
         else:
             prompt_mask = jnp.asarray(prompt_mask, jnp.int32)
-        fn = self._get_compiled(Sp, has_images, n_img)
+        fn = self._get_compiled(Sp, has_images, n_img, sampling=sampling)
         tokens, hiddens = fn(self.params, input_ids, prompt_mask,
                              images, embeds_cmp_mask, ids_cmp_mask,
                              patch_positions, rng)

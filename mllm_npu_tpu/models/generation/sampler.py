@@ -191,7 +191,8 @@ def speculative_decode_loop(step_multi: Callable, cache: Any,
                             cfg: SamplingConfig,
                             context_ids: jax.Array,    # [1, Sp]
                             ladder: Optional[ImageTokenLadder] = None,
-                            k: int = 5, ngram: int = 3):
+                            k: int = 5, ngram: int = 3,
+                            prompt_len: Optional[jax.Array] = None):
     """Prompt-lookup speculative GREEDY decode, B == 1 (draft-model-free
     speculation: the next k tokens are proposed by matching the context's
     trailing n-gram against its own history — prompts/answers with
@@ -204,7 +205,9 @@ def speculative_decode_loop(step_multi: Callable, cache: Any,
     [pos, pos+k]; only the accepted prefix advances ``pos`` — rejected
     keys are overwritten by the next iteration (per-row positions make
     rollback free). Output is token-for-token identical to decode_loop
-    for greedy sampling.
+    for greedy sampling. Returns (tokens, hidden, done, n_iters) —
+    n_iters counts verify forwards (= model calls), used by tests to
+    assert acceptance rates.
 
     The caller must size the KV cache and token buffer with +k headroom
     (see generate.py)."""
@@ -220,15 +223,24 @@ def speculative_decode_loop(step_multi: Callable, cache: Any,
         .at[:, 0].set(first_hidden)
     done0 = first_token[0] == cfg.eos_token_id
 
-    ctx0 = context_ids[0]
+    # ``context_ids`` is the right-padded prompt bucket; grams matched
+    # over pad positions would degrade acceptance on every bucketed
+    # prompt. Right-align the real tokens at index Sp (roll the pad
+    # garbage to the front) and bar matches whose gram touches it.
+    if prompt_len is None:
+        offset = jnp.asarray(0, jnp.int32)
+        ctx0 = context_ids[0]
+    else:
+        offset = (Sp - prompt_len).astype(jnp.int32)
+        ctx0 = jnp.roll(context_ids[0], offset)
     L = Sp + Tp
 
     def cond(state):
-        t, tokens, hidden, cache, cur, done = state
+        t, tokens, hidden, cache, cur, done, _ = state
         return jnp.logical_and(t < T, jnp.logical_not(done))
 
     def body(state):
-        t, tokens, hidden, cache, cur, done = state
+        t, tokens, hidden, cache, cur, done, it = state
         # ---- propose: most recent earlier occurrence of the trailing
         # n-gram; take the k tokens that followed it
         C = jnp.concatenate([ctx0, tokens[0]])              # [L]
@@ -240,6 +252,7 @@ def speculative_decode_loop(step_multi: Callable, cache: Any,
             s = ngram - 1 - i
             match &= (jnp.roll(C, s) == gram[i]) & (pos_idx >= s)
         match &= pos_idx <= end - 2     # strictly before the suffix
+        match &= pos_idx >= offset + ngram - 1   # gram fully in real tokens
         p_star = jnp.max(jnp.where(match, pos_idx, -1))
         props = jax.lax.dynamic_slice(
             C, (jnp.clip(p_star + 1, 0, L - k),), (k,))
@@ -269,18 +282,18 @@ def speculative_decode_loop(step_multi: Callable, cache: Any,
         # accepted proposals'; the new cur is the last emitted token
         cache = {**cache, "pos": cache["pos"] - (k + 1) + e}
         cur = jnp.take(g, e - 1)[None]
-        return (t + e, tokens, hidden, cache, cur, done)
+        return (t + e, tokens, hidden, cache, cur, done, it + 1)
 
     state = (jnp.asarray(1, jnp.int32), tokens0, hidden0, cache,
-             first_token, done0)
-    t_f, tokens, hidden, cache, _, done = jax.lax.while_loop(
+             first_token, done0, jnp.asarray(0, jnp.int32))
+    t_f, tokens, hidden, cache, _, done, n_iters = jax.lax.while_loop(
         cond, body, state)
     # zero the speculative tail beyond the last emitted token (parity
     # with decode_loop's zeros-initialized buffer)
     keep = jnp.arange(Tp) < t_f
     tokens = jnp.where(keep[None, :], tokens, 0)
     hidden = jnp.where(keep[None, :, None], hidden, 0)
-    return tokens[:, :T], hidden[:, :T], done[None]
+    return tokens[:, :T], hidden[:, :T], done[None], n_iters
 
 
 def extract_img_windows(tokens: jax.Array,     # [T] generated ids

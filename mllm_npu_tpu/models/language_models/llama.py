@@ -73,6 +73,13 @@ class LlamaConfig:
     # decode loop. Convert trained params with
     # utils.weights.fuse_llama_projections (before quantization).
     fused_projections: bool = False
+    # Tensor-parallel fused layout: the fused qkv/gate_up kernels are
+    # interleaved into `fused_shards` groups, each holding whole
+    # q/k/v (gate/up) head blocks, so a `tensor`-axis shard never
+    # straddles the q/k/v boundary and the in-module split stays
+    # shard-local (no GSPMD resharding in the TP decode path). Convert
+    # params with fuse_llama_projections(shards=N); 1 = plain concat.
+    fused_shards: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -211,7 +218,18 @@ class LlamaMLP(nn.Module):
         dense = _dense_factory(cfg, self.dtype, self.param_dtype)
         if cfg.fused_projections:
             gu = dense(2 * cfg.intermediate_size, "gate_up_proj")(x)
-            gate, up = jnp.split(gu, 2, axis=-1)
+            if cfg.fused_shards > 1:
+                # interleaved layout: [ts, (gate_i | up_i)] groups —
+                # split within each group so a tensor shard's slice is
+                # self-contained (see LlamaConfig.fused_shards)
+                ts, I = cfg.fused_shards, cfg.intermediate_size
+                assert I % ts == 0, (I, ts)
+                gu = gu.reshape(*gu.shape[:-1], ts, 2 * I // ts)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                gate = gate.reshape(*x.shape[:-1], I)
+                up = up.reshape(*x.shape[:-1], I)
+            else:
+                gate, up = jnp.split(gu, 2, axis=-1)
         else:
             gate = dense(cfg.intermediate_size, "gate_proj")(x)
             up = dense(cfg.intermediate_size, "up_proj")(x)
@@ -245,8 +263,18 @@ class LlamaAttention(nn.Module):
         dense = _dense_factory(cfg, self.dtype, self.param_dtype)
         if cfg.fused_projections:
             qkv = dense((H + 2 * Hkv) * D, "qkv_proj")(x)
-            q, k, v = jnp.split(
-                qkv, [H * D, (H + Hkv) * D], axis=-1)
+            if cfg.fused_shards > 1:
+                # interleaved layout: [ts, (q_i | k_i | v_i)] head
+                # groups; shard-local split (LlamaConfig.fused_shards)
+                ts = cfg.fused_shards
+                assert H % ts == 0 and Hkv % ts == 0, (H, Hkv, ts)
+                Hl, Hkvl = H // ts, Hkv // ts
+                qkv = qkv.reshape(B, S, ts, (Hl + 2 * Hkvl) * D)
+                q, k, v = jnp.split(
+                    qkv, [Hl * D, (Hl + Hkvl) * D], axis=-1)
+            else:
+                q, k, v = jnp.split(
+                    qkv, [H * D, (H + Hkv) * D], axis=-1)
             q = q.reshape(B, S, H, D)
             k = k.reshape(B, S, Hkv, D)
             v = v.reshape(B, S, Hkv, D)
@@ -542,6 +570,105 @@ class LlamaForCausalLM(nn.Module):
             h_logits = h
         logits = self._logits(h_logits)
         return logits, h, new_cache
+
+
+class LlamaForSequenceClassification(nn.Module):
+    """Sequence-classification head over LlamaModel (parity with the
+    reference fork's surface, reference llama3.py:1691-1810): a
+    bias-free ``score`` projection read at each row's LAST non-pad
+    token. Static-shape pooling: the reference's
+    ``argmax(ids == pad) - 1`` indexing becomes a take_along_axis
+    gather, jit-friendly on TPU. Loss lives in
+    :func:`sequence_classification_loss`."""
+    config: LlamaConfig
+    num_labels: int = 2
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, *, pad_token_id: Optional[int] = None,
+                 positions=None, attn_mask=None, segment_ids=None):
+        h, _ = LlamaModel(self.config, self.dtype, self.param_dtype,
+                          name="model")(
+            input_ids, positions=positions, attn_mask=attn_mask,
+            segment_ids=segment_ids)
+        logits = nn.Dense(self.num_labels, use_bias=False,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="score")(h)           # [B, S, C]
+        B, S = input_ids.shape
+        if pad_token_id is None:
+            seq_len = jnp.full((B,), S - 1, jnp.int32)
+        else:
+            is_pad = input_ids == pad_token_id
+            # first pad position (S if none) - 1, modulo S (ref parity)
+            first_pad = jnp.where(is_pad.any(axis=-1),
+                                  jnp.argmax(is_pad, axis=-1), S)
+            seq_len = (first_pad - 1) % S
+        pooled = jnp.take_along_axis(
+            logits, seq_len[:, None, None], axis=1)[:, 0]   # [B, C]
+        return pooled.astype(jnp.float32)
+
+
+def sequence_classification_loss(pooled: jax.Array,
+                                 labels: jax.Array) -> jax.Array:
+    """Reference problem_type dispatch (llama3.py:1770-1795): MSE for
+    1 label (regression), CE for int labels (single-label), BCE
+    otherwise (multi-label)."""
+    if pooled.shape[-1] == 1:
+        return jnp.mean((pooled.squeeze(-1) - labels.astype(
+            jnp.float32)) ** 2)
+    if jnp.issubdtype(labels.dtype, jnp.integer):
+        logp = jax.nn.log_softmax(pooled, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(
+            logp, labels[:, None], axis=-1))
+    return jnp.mean(optax_sigmoid_bce(pooled, labels.astype(jnp.float32)))
+
+
+def optax_sigmoid_bce(logits, labels):
+    # stable BCE-with-logits (no optax dependency in this module)
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+class LlamaForQuestionAnswering(nn.Module):
+    """Extractive-QA head (reference llama3.py:1813-1907): a Dense(2)
+    over the sequence output split into start/end logits. Loss in
+    :func:`question_answering_loss`."""
+    config: LlamaConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, *, positions=None, attn_mask=None,
+                 segment_ids=None):
+        h, _ = LlamaModel(self.config, self.dtype, self.param_dtype,
+                          name="transformer")(
+            input_ids, positions=positions, attn_mask=attn_mask,
+            segment_ids=segment_ids)
+        logits = nn.Dense(2, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name="qa_outputs")(h)       # [B, S, 2]
+        start, end = jnp.split(logits.astype(jnp.float32), 2, axis=-1)
+        return start.squeeze(-1), end.squeeze(-1)
+
+
+def question_answering_loss(start_logits, end_logits, start_positions,
+                            end_positions) -> jax.Array:
+    """Mean of start/end CE; positions clamped to [0, S] with S acting
+    as the reference's ignored_index (llama3.py:1884-1893)."""
+    S = start_logits.shape[1]
+
+    def ce(logits, pos):
+        pos = jnp.clip(pos, 0, S)
+        valid = pos < S
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.minimum(pos, S - 1)[:, None], axis=-1).squeeze(-1)
+        nll = jnp.where(valid, nll, 0.0)
+        return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+    return (ce(start_logits, start_positions)
+            + ce(end_logits, end_positions)) / 2
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array,

@@ -51,7 +51,10 @@ class InferenceEngine:
                  prompt_bucket: int = 128,
                  cache_dtype=jnp.bfloat16,
                  cast_params_bf16: bool = True,
-                 quantize_int8: bool = False):
+                 quantize_int8: bool = False,
+                 fuse_projections: bool = False,
+                 fuse_shards: int = 1,
+                 unroll_layers: bool = False):
         self.tokenizer = tokenizer
         self.image_transform = image_transform
         self.adapter = adapter
@@ -77,7 +80,9 @@ class InferenceEngine:
                                         tokenizer, "pad_token_id", 0) or 0),
             ladder=ladder, cache_dtype=cache_dtype,
             cast_params_bf16=cast_params_bf16,
-            quantize_int8=quantize_int8)
+            quantize_int8=quantize_int8,
+            fuse_projections=fuse_projections, fuse_shards=fuse_shards,
+            unroll_layers=unroll_layers)
 
     # -- helpers -----------------------------------------------------------
 

@@ -41,6 +41,7 @@ class ModelWorker:
         self.engine = engine
         self.limit_model_concurrency = limit_model_concurrency
         self.semaphore: Optional[asyncio.Semaphore] = None
+        self.in_flight = 0
         self.global_counter = 0
         if not no_register:
             self.register_to_controller()
@@ -80,11 +81,9 @@ class ModelWorker:
                 self.register_to_controller()
 
     def get_queue_length(self) -> int:
-        if self.semaphore is None:
-            return 0
-        return (self.limit_model_concurrency
-                - (self.semaphore._value if self.semaphore._value
-                   is not None else 0))
+        # in-flight counter maintained alongside the semaphore (no
+        # reliance on asyncio.Semaphore internals)
+        return self.in_flight
 
     def get_status(self) -> dict:
         return {"model_names": [self.model_name], "speed": 1,
@@ -136,6 +135,7 @@ def create_app(worker: ModelWorker) -> web.Application:
             worker.semaphore = asyncio.Semaphore(
                 worker.limit_model_concurrency)
         await worker.semaphore.acquire()
+        worker.in_flight += 1
         resp = web.StreamResponse()
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
@@ -160,6 +160,7 @@ def create_app(worker: ModelWorker) -> web.Application:
                 await resp.write(chunk)
             await fut
         finally:
+            worker.in_flight -= 1
             worker.semaphore.release()
         return resp
 
@@ -195,7 +196,11 @@ def load_engine_from_config(model_config_path: str,
                             num_slots: int = 8,
                             max_len: int = 2048,
                             tensor_parallel: int = 1,
-                            prefill_chunk=None):
+                            prefill_chunk=None,
+                            cast_bf16: bool = True,
+                            quantize_int8: bool = False,
+                            fuse_projections: bool = False,
+                            unroll_layers: bool = False):
     """Build the InferenceEngine from a model YAML (the worker-side
     analogue of reference worker.py:65-109's model stack load)."""
     import jax
@@ -232,7 +237,13 @@ def load_engine_from_config(model_config_path: str,
         model=bundle.module, lm_config=llm.config, params=params,
         tokenizer=tokenizer, image_transform=processor, adapter=adapter,
         num_img_in_tokens=nq, num_img_out_tokens=nq,
-        max_new_tokens=max_new_tokens)
+        max_new_tokens=max_new_tokens,
+        cast_params_bf16=cast_bf16, quantize_int8=quantize_int8,
+        fuse_projections=fuse_projections,
+        # tensor-parallel + fused: interleave the fused kernels by the
+        # tensor-axis size so shard slices hold whole q/k/v head groups
+        fuse_shards=tensor_parallel if fuse_projections else 1,
+        unroll_layers=unroll_layers)
     if batched:
         from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
         mesh = None
@@ -248,8 +259,14 @@ def load_engine_from_config(model_config_path: str,
     return InferenceEngine(**common)
 
 
-def main():
+def parse_worker_args(argv=None):
     parser = argparse.ArgumentParser()
+    parser.add_argument("--worker-config", type=str, default=None,
+                        help="JSON wiring the full serving stack from "
+                             "one file (reference "
+                             "configs/workers/seedx_workers.json "
+                             "parity); keys match the CLI flags with "
+                             "underscores. Explicit CLI flags override.")
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=40000)
     parser.add_argument("--worker-address", type=str,
@@ -257,7 +274,7 @@ def main():
     parser.add_argument("--controller-address", type=str,
                         default="http://localhost:10075")
     parser.add_argument("--model-name", type=str, default="seed-x")
-    parser.add_argument("--model-config", type=str, required=True)
+    parser.add_argument("--model-config", type=str, default=None)
     parser.add_argument("--generation-config", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
@@ -273,14 +290,49 @@ def main():
                         help="chunked prefill: admit prompts N tokens "
                              "per tick so long prompts don't stall "
                              "active decode slots")
-    args = parser.parse_args()
+    # engine-level acceleration flags (also settable from the JSON)
+    parser.add_argument("--quantize-int8", action="store_true",
+                        help="int8 weight-only LLM serving")
+    parser.add_argument("--no-cast-bf16", action="store_true",
+                        help="keep fp32 weights (default casts to bf16)")
+    parser.add_argument("--fuse-projections", action="store_true",
+                        help="fused qkv/gate_up serving kernels")
+    parser.add_argument("--unroll-layers", action="store_true",
+                        help="per-layer (non-scan) param layout")
+
+    # two-stage parse: a --worker-config JSON supplies defaults for every
+    # flag (reference configs/workers/seedx_workers.json:1 wires the full
+    # stack from one file); explicitly-passed CLI flags still win
+    pre, _ = parser.parse_known_args(argv)
+    if pre.worker_config:
+        with open(pre.worker_config) as f:
+            wc = json.load(f)
+        known = {a.dest for a in parser._actions}
+        unknown = set(wc) - known
+        if unknown:
+            raise SystemExit(
+                f"unknown worker-config keys: {sorted(unknown)}")
+        parser.set_defaults(**wc)
+    args = parser.parse_args(argv)
+    if not args.model_config:
+        parser.error("--model-config (or a worker config providing "
+                     "model_config) is required")
+    return args
+
+
+def main():
+    args = parse_worker_args()
     build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
     engine = load_engine_from_config(
         args.model_config, generation_config_path=args.generation_config,
         batched=args.batched, num_slots=args.num_slots,
         max_len=args.max_cache_len,
         tensor_parallel=args.tensor_parallel,
-        prefill_chunk=args.prefill_chunk)
+        prefill_chunk=args.prefill_chunk,
+        cast_bf16=not args.no_cast_bf16,
+        quantize_int8=args.quantize_int8,
+        fuse_projections=args.fuse_projections,
+        unroll_layers=args.unroll_layers)
     if args.batched:
         args.limit_model_concurrency = max(
             args.limit_model_concurrency, args.num_slots)

@@ -785,19 +785,70 @@ def quantize_llama_params(lm_params: dict) -> dict:
     return quantize_dense_params(lm_params, skip=("embed",))
 
 
-def fuse_llama_projections(lm_params: dict) -> dict:
+def merge_lora_params(lm_params: dict, alpha: float) -> dict:
+    """Fold trained LoRA adapters into their base kernels (peft
+    ``merge_and_unload`` parity — the deployment step the reference
+    leaves to peft): W' = W + (alpha/r)·A·B, collapsing each
+    ``name/{base/kernel, lora_a, lora_b}`` LoRADense subtree to the
+    plain ``name/kernel`` layout of ``LlamaConfig(lora_rank=0)``.
+    Works on plain and scan-stacked ([L, ...]) adapters. Run BEFORE
+    fuse_llama_projections / quantize_llama_params."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(lm_params)
+    out = {}
+    for path, leaf in flat.items():
+        if path[-1] == "lora_a":
+            mod = path[:-1]
+            b = flat[mod + ("lora_b",)]
+            base = flat[mod + ("base", "kernel")]
+            r = leaf.shape[-1]
+            delta = jnp.einsum("...kr,...rn->...kn",
+                               leaf.astype(jnp.float32),
+                               b.astype(jnp.float32)) * (alpha / r)
+            out[mod + ("kernel",)] = (
+                base.astype(jnp.float32) + delta).astype(base.dtype)
+        elif path[-1] == "lora_b" or path[-2:] == ("base", "kernel"):
+            continue  # folded above
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def fuse_llama_projections(lm_params: dict, shards: int = 1) -> dict:
     """Concatenate q/k/v kernels into qkv_proj and gate/up into
     gate_up_proj (build the model with
     LlamaConfig(fused_projections=True)). Serving-time transform: one
     matvec instead of three/two per block halves the decode loop's
     kernel-launch count and streams larger contiguous weight tiles.
     Works on plain [K, N] and scan-stacked [L, K, N] kernels; apply
-    BEFORE quantize_llama_params. LoRA trees must be merged first."""
+    BEFORE quantize_llama_params. LoRA trees must be merged first.
+
+    ``shards`` > 1 produces the tensor-parallel interleaved layout
+    (LlamaConfig(fused_shards=shards)): the output axis is grouped as
+    [s0: q0|k0|v0, s1: q1|k1|v1, ...] so each `tensor`-axis shard holds
+    whole q/k/v head blocks and the module's split is shard-local —
+    a plain-concat fused kernel sharded on the output axis straddles
+    the q/k/v boundary and forces GSPMD resharding every decode step.
+    Head/column counts must divide by ``shards``."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(lm_params)
     assert not any("lora_a" in p or "base" in p for p in flat), \
         "merge LoRA adapters before fusing projections"
+
+    def interleave(parts):
+        """[..., K, Ni] kernels -> [..., K, sum(Ni)] grouped by shard."""
+        if shards == 1:
+            return jnp.concatenate(parts, axis=-1)
+        split = []
+        for p in parts:
+            n = p.shape[-1]
+            assert n % shards == 0, \
+                f"fused output dim {n} not divisible by shards={shards}"
+            split.append(p.reshape(*p.shape[:-1], shards, n // shards))
+        inter = jnp.concatenate(split, axis=-1)   # [..., ts, sum(local)]
+        return inter.reshape(*inter.shape[:-2], -1)
 
     out = {}
     for path, leaf in flat.items():
@@ -809,12 +860,12 @@ def fuse_llama_projections(lm_params: dict) -> dict:
             continue  # folded into the fused kernel below
         if name == "q_proj":
             sib = lambda n: flat[path[:-2] + (n, "kernel")]
-            out[path[:-2] + ("qkv_proj", "kernel")] = jnp.concatenate(
-                [leaf, sib("k_proj"), sib("v_proj")], axis=-1)
+            out[path[:-2] + ("qkv_proj", "kernel")] = interleave(
+                [leaf, sib("k_proj"), sib("v_proj")])
         elif name == "gate_proj":
             sib = lambda n: flat[path[:-2] + (n, "kernel")]
-            out[path[:-2] + ("gate_up_proj", "kernel")] = jnp.concatenate(
-                [leaf, sib("up_proj")], axis=-1)
+            out[path[:-2] + ("gate_up_proj", "kernel")] = interleave(
+                [leaf, sib("up_proj")])
         else:
             out[path] = leaf
     return flax.traverse_util.unflatten_dict(out)

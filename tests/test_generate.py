@@ -198,6 +198,41 @@ def test_speculative_decode_matches_plain_greedy():
             rtol=2e-4, atol=2e-4)
 
 
+def test_speculative_padded_prompt_still_accepts():
+    """Bucketed (right-padded) prompts must not poison the n-gram
+    lookup: with prompt_len passed, a period-3 prompt padded 8->16
+    accepts full k-runs, finishing max_new_tokens=12 with k=4 in
+    <= ceil(12/5)+1 verify forwards. Without the pad-aware path the
+    trailing gram contains pad ids and acceptance collapses to ~12
+    forwards (ADVICE r1, sampler.py:232)."""
+    from mllm_npu_tpu.models.generation.sampler import \
+        speculative_decode_loop
+
+    real = [7, 9, 11, 7, 9, 11, 7, 9]          # next is 11, period 3
+    Sp, V, k, T = 16, 32, 4, 12
+    ctx = jnp.asarray([real + [0] * (Sp - len(real))], jnp.int32)
+
+    def step_multi(toks, cache):
+        # oracle model: continues the 7->9->11->7 cycle for any input
+        nxt = jnp.where(toks == 7, 9, jnp.where(toks == 9, 11, 7))
+        logits = jax.nn.one_hot(nxt, V) * 10.0
+        h = jnp.zeros(toks.shape + (4,), jnp.float32)
+        return logits, h, {**cache, "pos": cache["pos"] + toks.shape[1]}
+
+    cfg = SamplingConfig(max_new_tokens=T, do_sample=False,
+                         eos_token_id=-1)
+    cache0 = {"pos": jnp.asarray([len(real)], jnp.int32)}
+    first = jnp.asarray([11], jnp.int32)       # greedy next after ...7,9
+    fh = jnp.zeros((1, 4), jnp.float32)
+
+    tokens, _, _, n_iters = speculative_decode_loop(
+        step_multi, cache0, first, fh, cfg, ctx, k=k, ngram=2,
+        prompt_len=jnp.asarray(len(real), jnp.int32))
+    expect = [11, 7, 9, 11, 7, 9, 11, 7, 9, 11, 7, 9]
+    np.testing.assert_array_equal(np.asarray(tokens[0]), expect)
+    assert int(n_iters) <= (T + k) // (k + 1) + 1, int(n_iters)
+
+
 def test_speculative_decode_eos_stop():
     """Speculation respects eos: pick the plain run's 4th generated
     token as the eos id — the speculative run must stop at the same

@@ -138,3 +138,135 @@ def test_fused_projections_match_unfused():
     _, _, cache2 = model2.apply(p2, ids, cache=cache2, prefill=True)
     l2, _, _ = model2.apply(p2, ids[:, :1], cache=cache2)
     np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+
+def test_fused_interleaved_tp_layout():
+    """fused_shards=2 (TP interleaved fused layout) is numerically
+    identical to unfused, including when the fused kernels are sharded
+    on a tensor=2 mesh — each shard then holds whole q/k/v (gate/up)
+    head groups so the in-module split is shard-local (ADVICE r1,
+    sharding.py:25)."""
+    import dataclasses
+
+    from mllm_npu_tpu.utils.weights import fuse_llama_projections
+
+    model, params, ids = _init()
+    logits, _, _ = model.apply(params, ids)
+
+    cfg2 = dataclasses.replace(CFG, fused_projections=True,
+                               fused_shards=2)
+    model2 = LlamaForCausalLM(cfg2, dtype=jnp.float32)
+    p2 = {"params": fuse_llama_projections(params["params"], shards=2)}
+    logits2, _, _ = model2.apply(p2, ids)
+    np.testing.assert_allclose(logits, logits2, atol=1e-5)
+
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.parallel.sharding import shard_params
+
+    mesh = build_mesh(MeshConfig(data=4, tensor=2))
+    ps = shard_params(p2, mesh)
+    logits3, _, _ = jax.jit(model2.apply)(ps, ids)
+    np.testing.assert_allclose(logits, np.asarray(logits3), atol=1e-5)
+
+
+def test_sequence_classification_head():
+    """SeqCls head parity surface (reference llama3.py:1691): pooled
+    logits read at the last non-pad token; regression/single-label/
+    multi-label loss dispatch."""
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaForSequenceClassification, sequence_classification_loss)
+
+    model = LlamaForSequenceClassification(CFG, num_labels=3,
+                                           dtype=jnp.float32)
+    ids = np.full((2, 16), 0, np.int32)
+    ids[0, :10] = np.arange(10) + 5      # row 0: 10 real tokens, pad=0
+    ids[1, :16] = np.arange(16) + 5      # row 1: full
+    ids = jnp.asarray(ids)
+    params = model.init(jax.random.PRNGKey(0), ids, pad_token_id=0)
+    pooled = model.apply(params, ids, pad_token_id=0)
+    assert pooled.shape == (2, 3)
+
+    # pooling reads the token BEFORE the first pad: junk after the
+    # first pad cannot change the pooled logits (causal attention)
+    row2 = np.asarray(ids[0]).copy()
+    row2[11:] = 999                       # junk after the pad at 10
+    pooled2 = model.apply(params, jnp.asarray(row2[None]),
+                          pad_token_id=0)
+    np.testing.assert_allclose(np.asarray(pooled[:1]),
+                               np.asarray(pooled2), atol=1e-5)
+
+    loss = sequence_classification_loss(pooled, jnp.asarray([0, 2]))
+    assert np.isfinite(float(loss))
+    reg = LlamaForSequenceClassification(CFG, num_labels=1,
+                                         dtype=jnp.float32)
+    p1 = reg.init(jax.random.PRNGKey(0), ids, pad_token_id=0)
+    r = reg.apply(p1, ids, pad_token_id=0)
+    assert np.isfinite(float(sequence_classification_loss(
+        r, jnp.asarray([0.5, -1.0]))))
+
+
+def test_question_answering_head():
+    """QA head parity surface (reference llama3.py:1813): start/end
+    logits + clamped-ignored-index CE."""
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaForQuestionAnswering, question_answering_loss)
+
+    model = LlamaForQuestionAnswering(CFG, dtype=jnp.float32)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(5, CFG.vocab_size, (2, 16)))
+    params = model.init(jax.random.PRNGKey(0), ids)
+    start, end = model.apply(params, ids)
+    assert start.shape == (2, 16) and end.shape == (2, 16)
+    loss = question_answering_loss(start, end, jnp.asarray([3, 5]),
+                                   jnp.asarray([7, 9]))
+    assert np.isfinite(float(loss))
+    # out-of-range positions are ignored (clamped to ignored_index)
+    loss_ign = question_answering_loss(
+        start, end, jnp.asarray([99, 99]), jnp.asarray([99, 99]))
+    assert float(loss_ign) == 0.0
+
+
+def test_merge_lora_matches_adapter_forward():
+    """merge_lora_params (peft merge_and_unload parity): folding
+    W + (alpha/r)AB into plain kernels reproduces the adapter model's
+    logits exactly, in the lora_rank=0 layout (so fuse/int8 compose)."""
+    import dataclasses
+
+    import flax
+
+    from mllm_npu_tpu.utils.weights import (fuse_llama_projections,
+                                            merge_lora_params)
+
+    cfg = LlamaConfig.tiny(attention_impl="eager", lora_rank=4,
+                           lora_alpha=8.0,
+                           lora_targets=("q_proj", "v_proj", "up_proj"))
+    model = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 0,
+                             cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), ids)
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    rng = np.random.RandomState(0)
+    for k in flat:   # zero-init B would make the merge trivially exact
+        if k[-1] == "lora_b":
+            flat[k] = jnp.asarray(rng.randn(*flat[k].shape) * 0.05,
+                                  jnp.float32)
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+    ref_logits, _, _ = model.apply(params, ids)
+
+    cfg0 = dataclasses.replace(cfg, lora_rank=0)
+    model0 = LlamaForCausalLM(cfg0, dtype=jnp.float32)
+    p0 = {"params": merge_lora_params(params["params"], cfg.lora_alpha)}
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(
+                model0.init(jax.random.PRNGKey(1), ids)))
+    logits0, _, _ = model0.apply(p0, ids)
+    np.testing.assert_allclose(np.asarray(ref_logits),
+                               np.asarray(logits0), atol=2e-5)
+
+    # merged layout composes with projection fusion
+    cfgf = dataclasses.replace(cfg0, fused_projections=True)
+    modelf = LlamaForCausalLM(cfgf, dtype=jnp.float32)
+    pf = {"params": fuse_llama_projections(p0["params"])}
+    logitsf, _, _ = modelf.apply(pf, ids)
+    np.testing.assert_allclose(np.asarray(ref_logits),
+                               np.asarray(logitsf), atol=2e-5)

@@ -313,3 +313,55 @@ def test_streaming_comprehension():
     assert texts[-1] == plain
     for a, b in zip(texts, texts[1:]):
         assert b.startswith(a), (a, b)
+
+
+def test_worker_config_json(tmp_path):
+    """One JSON wires the full worker stack (reference
+    configs/workers/seedx_workers.json:1): values become flag defaults,
+    explicit CLI flags still override, and unknown keys fail loudly."""
+    from pathlib import Path
+
+    from mllm_npu_tpu.serve.worker import parse_worker_args
+
+    wc = {"model_name": "seedx-json", "model_config": "m.yaml",
+          "port": 41234, "batched": True, "num_slots": 4,
+          "fuse_projections": True}
+    p = tmp_path / "worker.json"
+    p.write_text(json.dumps(wc))
+    args = parse_worker_args(["--worker-config", str(p)])
+    assert args.model_name == "seedx-json" and args.port == 41234
+    assert args.batched and args.num_slots == 4
+    assert args.fuse_projections and not args.quantize_int8
+
+    args = parse_worker_args(["--worker-config", str(p),
+                              "--model-name", "cli-wins"])
+    assert args.model_name == "cli-wins"          # CLI beats JSON
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"modle_config": "typo"}))
+    with pytest.raises(SystemExit):
+        parse_worker_args(["--worker-config", str(bad)])
+
+    shipped = (Path(__file__).resolve().parents[1] / "mllm_npu_tpu" /
+               "configs" / "workers" / "seedx_worker.json")
+    args = parse_worker_args(["--worker-config", str(shipped)])
+    assert args.model_config.endswith("seedx_llama2_13b_qwenvl_vitg.yaml")
+    assert args.batched and args.num_slots == 8
+
+
+def test_engine_flags_thread_from_config(monkeypatch):
+    """load_engine_from_config's engine-level flags reach the generator:
+    fused+int8+unrolled is the 8B serving stack (VERDICT r1 item 8)."""
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    from mllm_npu_tpu.serve.worker import load_engine_from_config
+
+    eng = load_engine_from_config(
+        "models/mllm_llama3_8b_siglip_vit.yaml", max_new_tokens=4,
+        cast_bf16=False, quantize_int8=True, fuse_projections=True,
+        unroll_layers=True)
+    gen = eng.generator
+    assert gen.lm_config.fused_projections
+    assert gen.lm_config.quantization == "int8"
+    assert gen.lm_config.scan_layers is False
+    out = gen.generate(jnp.asarray([[5, 6, 7]], jnp.int32))
+    assert out["generate_ids"].shape[1] == 4
