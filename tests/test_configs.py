@@ -75,8 +75,12 @@ def test_reference_yaml_translates():
     _forward(mllm, llm.config, vis_cfg)
 
 
-def test_our_seedx_config_instantiates():
-    cfg = load_config("models/seedx_llama2_13b_qwenvl_vitg.yaml")
+@pytest.mark.parametrize("name", [
+    "seedx_llama2_13b_qwenvl_vitg.yaml",
+    "seedx_llama2_13b_qwenvl_vit.yaml",   # hub-path variant (ref parity)
+])
+def test_our_seedx_config_instantiates(name):
+    cfg = load_config(f"models/{name}")
     llm = instantiate(cfg["mllm"]["language_model"])
     mllm = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
     assert mllm.module.vit_down and mllm.module.mse
@@ -85,9 +89,12 @@ def test_our_seedx_config_instantiates():
 
 @pytest.mark.skipif(not REF_CFG.exists(),
                     reason="reference repo not mounted")
-def test_reference_seedx_yaml_translates():
-    ref = Path("/root/reference/mllm_npu/configs/models/"
-               "seedx_llama2_13b_qwenvl_vitg.yaml")
+@pytest.mark.parametrize("ref_name", [
+    "seedx_llama2_13b_qwenvl_vitg.yaml",
+    "seedx_llama2_13b_qwenvl_vit.yaml",
+])
+def test_reference_seedx_yaml_translates(ref_name):
+    ref = Path("/root/reference/mllm_npu/configs/models/") / ref_name
     with open(ref) as f:
         cfg = yaml.safe_load(f)
     llm = instantiate(cfg["mllm"]["language_model"])
