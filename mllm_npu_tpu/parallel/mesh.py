@@ -60,7 +60,18 @@ def build_mesh(config: MeshConfig = MeshConfig(),
 
 
 def maybe_init_distributed() -> None:
-    """Multi-host init (no-op single-host). Controlled by standard JAX
-    env (coordinator address etc.)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Multi-host init (no-op single-host): the TPU-native replacement
+    for the reference's torchrun wiring (reference scripts/*.sh:36).
+    Controlled by env — set JAX_COORDINATOR_ADDRESS on every host; on
+    platforms without automatic cluster detection (e.g. multi-process
+    CPU) also set JAX_NUM_PROCESSES and JAX_PROCESS_ID. CPU collectives
+    use the gloo backend (tested by tests/test_multihost.py)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kw = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw = dict(coordinator_address=addr,
+                  num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                  process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kw)
