@@ -61,6 +61,11 @@ def main():
                    choices=["nothing", "dots", "dots_no_batch"])
     p.add_argument("--mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor's factored second moment is the only "
+                        "way 2B+ trainables fit one 16GB v5e (AdamW "
+                        "bf16 params+mu+nu+grads alone exceed HBM)")
     p.add_argument("--param_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="parameter storage dtype: bfloat16 (pure-bf16 "
@@ -144,12 +149,13 @@ def main():
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
 
-    lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
-    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+    pd = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.param_dtype]
+    lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16, param_dtype=pd)
+    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16, param_dtype=pd)
     proj = AttentionResampler(grid_size=int(nq ** 0.5),
                               embed_dim=lm_cfg.hidden_size,
                               num_heads=heads, kv_dim=vis_cfg.hidden_size,
-                              dtype=jnp.bfloat16)
+                              dtype=jnp.bfloat16, param_dtype=pd)
     model = GeneralizedMultimodalModel(
         language_model=lm, vision_encoder=vis, projector=proj,
         freeze_vision_encoder=True, add_patch_pos=True,
@@ -193,7 +199,7 @@ def main():
                    for x in jax.tree_util.tree_leaves(params))
     state = create_train_state(params, OptimizerConfig(
         lr=1e-4, warmup_steps=0, total_steps=1000,
-        mu_dtype=args.mu_dtype))
+        mu_dtype=args.mu_dtype, optimizer=args.optimizer))
     del params
 
     def loss_fn(p, b):
@@ -240,6 +246,7 @@ def main():
 
     print(json.dumps({
         "preset": args.preset,
+        "optimizer": args.optimizer,
         "params_m": round(n_params / 1e6, 1),
         "batch": B, "seq": S, "images": N, "chips": n_chips,
         "sec_per_step": round(per_step, 4),

@@ -60,6 +60,11 @@ class OptimizerConfig:
     # bf16 first/second moments halve optimizer HBM — frees memory for
     # lighter remat policies (the ZeRO-style memory/compute trade)
     mu_dtype: str = "float32"  # float32 | bfloat16
+    # adamw (reference parity, train.py:256-263) | adafactor (factored
+    # second moment: O(rows+cols) instead of O(params) — the only way a
+    # 2B-class AdamW-shaped trainable fits one 16GB v5e chip, where
+    # params+mu+nu+grads in bf16 alone exceed HBM)
+    optimizer: str = "adamw"
 
 
 def _path_str(path) -> str:
@@ -92,11 +97,19 @@ def build_optimizer(config: OptimizerConfig, params: Any):
     import jax.numpy as _jnp
     mu_dtype = {"float32": _jnp.float32,
                 "bfloat16": _jnp.bfloat16}[config.mu_dtype]
+    if config.optimizer == "adafactor":
+        opt = optax.adafactor(
+            sched, min_dim_size_to_factor=128,
+            multiply_by_parameter_scale=False, clipping_threshold=None,
+            momentum=config.betas[0], dtype_momentum=mu_dtype,
+            weight_decay_rate=config.weight_decay)
+    else:
+        opt = optax.adamw(sched, b1=config.betas[0], b2=config.betas[1],
+                          eps=config.eps, weight_decay=config.weight_decay,
+                          mu_dtype=mu_dtype)
     inner = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adamw(sched, b1=config.betas[0], b2=config.betas[1],
-                    eps=config.eps, weight_decay=config.weight_decay,
-                    mu_dtype=mu_dtype),
+        opt,
     )
     mask = trainable_mask(params, config.frozen_patterns)
     tx = optax.multi_transform(

@@ -42,6 +42,7 @@ def _torch_resampler_sd(prefix, grid, E, H, kv):
     return sd
 
 
+@pytest.mark.slow
 def test_assembly_checkpoint_loads(tmp_path):
     spec = TinySpec(batch=1, seq=32)
     model, lm_cfg, vis_cfg = build_tiny_mllm(spec, seed=True)

@@ -4,6 +4,7 @@ recycling, and mixed-length admission."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mllm_npu_tpu.models.generation.generate import MLLMGenerator
 from mllm_npu_tpu.models.generation.sampler import SamplingConfig
@@ -31,6 +32,7 @@ def _reference_tokens(model, lm_cfg, params, prompt, T):
     return list(np.asarray(out["generate_ids"][0]))
 
 
+@pytest.mark.slow
 def test_batched_matches_single_request_greedy():
     model, lm_cfg, params = _stack()
     prompts = [[3, 17, 42, 9, 100, 7],
@@ -50,6 +52,7 @@ def test_batched_matches_single_request_greedy():
         assert req.tokens == exp, (req.tokens, exp)
 
 
+@pytest.mark.slow
 def test_slot_recycling_more_requests_than_slots():
     model, lm_cfg, params = _stack()
     rs = np.random.RandomState(0)
@@ -68,6 +71,7 @@ def test_slot_recycling_more_requests_than_slots():
         assert req.done and req.tokens == exp
 
 
+@pytest.mark.slow
 def test_mesh_sharded_engine_parity():
     """Tensor-parallel serving: the engine over a (data=1, fsdp=1,
     tensor=2) mesh — params sharded on attention heads / MLP hidden,
@@ -96,6 +100,7 @@ def test_mesh_sharded_engine_parity():
         assert req.done and req.tokens == exp, (req.tokens, exp)
 
 
+@pytest.mark.slow
 def test_per_request_sampling():
     """enable_sampling: greedy and sampling requests share one decode
     batch — greedy rows keep exact parity with the reference decode,
@@ -164,6 +169,7 @@ def test_top_p_cutoff_filters():
     assert toks == {0, 1}, toks
 
 
+@pytest.mark.slow
 def test_capacity_validation():
     """submit() rejects requests that cannot fit a cache row (per-row
     write positions: a row holds prompt bucket + generated tokens)."""
@@ -188,6 +194,7 @@ def test_capacity_validation():
     assert r.done and r.tokens == exp
 
 
+@pytest.mark.slow
 def test_staggered_submission():
     """Requests submitted while others are mid-decode join without
     disturbing running slots (the continuous part of the batching)."""
@@ -209,6 +216,7 @@ def test_staggered_submission():
     assert r2.tokens == e2
 
 
+@pytest.mark.slow
 def test_malformed_request_is_isolated():
     """A request whose prefill blows up (bad image shapes) fails alone
     with req.error set; the engine keeps serving other requests."""
@@ -231,6 +239,7 @@ def test_malformed_request_is_isolated():
     assert good.done and good.error is None and good.tokens == exp
 
 
+@pytest.mark.slow
 def test_chunked_prefill_parity():
     """prefill_chunk: prompts feed through the multi-token decode
     branch one chunk per tick, interleaved with decode — greedy tokens
@@ -257,6 +266,7 @@ def test_chunked_prefill_parity():
         (r_long.tokens, exp_long)
 
 
+@pytest.mark.slow
 def test_chunked_prefill_subchunk_short_prompt_parity():
     """prefill_chunk < prompt_bucket: a short prompt's last real token
     lands in a NON-final chunk (the final chunk is pure padding), and
@@ -281,6 +291,7 @@ def test_chunked_prefill_subchunk_short_prompt_parity():
         assert req.done and req.tokens == exp, (p, req.tokens, exp)
 
 
+@pytest.mark.slow
 def test_chunked_prefill_capped_bucket_parity():
     """max_prompt that is not a multiple of prompt_bucket: the engine
     rounds the cap down so every admission bucket tiles by the chunk
@@ -301,6 +312,7 @@ def test_chunked_prefill_capped_bucket_parity():
     assert r.done and r.tokens == exp, (r.tokens, exp)
 
 
+@pytest.mark.slow
 def test_engine_image_ladder_forcing():
     """With a ladder, the engine mirrors AutoImageTokenGenerationProcessor
     (reference mllm.py:18-43): a prompt ending in <img> force-decodes the

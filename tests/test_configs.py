@@ -53,6 +53,7 @@ def _forward(bundle, lm_cfg, vis_cfg):
     return out
 
 
+@pytest.mark.slow
 def test_our_mllm_config_instantiates_and_runs():
     cfg = load_config("models/mllm_llama3_8b_siglip_vit.yaml")
     llm, mllm = _assemble(cfg)
@@ -64,6 +65,7 @@ def test_our_mllm_config_instantiates_and_runs():
 
 @pytest.mark.skipif(not REF_CFG.exists(),
                     reason="reference repo not mounted")
+@pytest.mark.slow
 def test_reference_yaml_translates():
     """The reference repo's own YAML instantiates through the
     translation table (targets mllm_npu.* -> mllm_npu_tpu.*)."""

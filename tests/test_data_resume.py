@@ -223,6 +223,7 @@ def test_multiprocess_loader_matches_single_worker_round_robin(tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_multiprocess_loader_resume(tmp_path):
     _make_jsonl(tmp_path / "a.jsonl", 0)
     _make_jsonl(tmp_path / "b.jsonl", 100)

@@ -31,6 +31,7 @@ def _tiny_unet(in_channels=4):
     return unet, params, cfg, (sample, t, ctx, added)
 
 
+@pytest.mark.slow
 def test_unet_shapes_and_grad():
     unet, params, cfg, (sample, t, ctx, added) = _tiny_unet()
     out = unet.apply(params, sample, t, ctx, added)
@@ -45,12 +46,14 @@ def test_unet_shapes_and_grad():
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
 
+@pytest.mark.slow
 def test_unet_8ch_edit_variant():
     unet, params, cfg, (sample, t, ctx, added) = _tiny_unet(in_channels=8)
     out = unet.apply(params, sample, t, ctx, added)
     assert out.shape == sample.shape[:-1] + (4,)
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg)
@@ -127,6 +130,7 @@ def _tiny_adapter():
     return adapter, ucfg
 
 
+@pytest.mark.slow
 def test_adapter_generate_end_to_end():
     adapter, ucfg = _tiny_adapter()
     embeds = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 16))
@@ -160,6 +164,7 @@ def adapter_generate_no_negative(adapter, embeds, size):
     return [_to_pil(np.asarray(i)) for i in imgs]
 
 
+@pytest.mark.slow
 def test_adapter_training_loss():
     adapter, ucfg = _tiny_adapter()
     B, S = 2, ucfg.sample_size
@@ -217,6 +222,7 @@ def test_ip_scale_zero_ignores_image_tokens():
     assert np.abs(np.asarray(out_c) - np.asarray(out_d)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_ip_adapter_sd_loss_and_seeding():
     from mllm_npu_tpu.models.generation.adapter_modules import (
         IPAdapterSD, init_ip_adapter_params)
@@ -263,6 +269,7 @@ def test_ip_adapter_sd_loss_and_seeding():
     assert any(float(jnp.abs(x).sum()) > 0 for x in ip_grads)
 
 
+@pytest.mark.slow
 def test_ip_adapter_pipe_generate():
     import flax.linen as fnn
     from mllm_npu_tpu.models.generation.adapter_modules import (
@@ -303,6 +310,7 @@ def test_ip_adapter_pipe_generate():
     assert imgs[0].size == (size, size)
 
 
+@pytest.mark.slow
 def test_dpm_solver_second_order_beats_euler():
     """DPM-Solver++(2M) integrates the probability-flow ODE with higher
     order than Euler: on a nonlinear toy denoiser (analytic x0 field),

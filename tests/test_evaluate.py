@@ -60,6 +60,7 @@ def test_bbh_flow(eval_model, tmp_path, monkeypatch):
     assert "logic" in res
 
 
+@pytest.mark.slow
 def test_mme_flow(eval_model, tmp_path, monkeypatch):
     task = tmp_path / "color"
     task.mkdir()
@@ -73,6 +74,7 @@ def test_mme_flow(eval_model, tmp_path, monkeypatch):
     assert len(out) == 2 and out[0].count("\t") == 3
 
 
+@pytest.mark.slow
 def test_mmvet_flow(eval_model, tmp_path, monkeypatch):
     (tmp_path / "images").mkdir()
     Image.new("RGB", (500, 500), (0, 200, 0)).save(
@@ -85,6 +87,7 @@ def test_mmvet_flow(eval_model, tmp_path, monkeypatch):
     assert Path("res_mmvet.json").exists()
 
 
+@pytest.mark.slow
 def test_seed_bench2_ranking(eval_model, tmp_path, monkeypatch):
     img_dir = tmp_path / "cc3m-image"
     img_dir.mkdir()
@@ -113,6 +116,7 @@ def test_lm_loss_ranks_sane(eval_model, tmp_path):
     assert np.isfinite(l1) and np.isfinite(l2)
 
 
+@pytest.mark.slow
 def test_run_dispatcher_builds_debug_model(monkeypatch, tmp_path):
     """evaluate/run.py's model builder works from the shipped YAML in
     DEBUG mode (the harness's own smoke test)."""

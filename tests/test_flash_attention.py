@@ -178,6 +178,7 @@ def test_flash_shard_map_matches_unsharded():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_train_step_flash_on_virtual_mesh():
     """Full jitted train step on the dp2/fsdp2/tp2 virtual mesh with the
     LLM on the FLASH path (interpret mode): compile_train_step's

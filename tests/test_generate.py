@@ -10,6 +10,7 @@ from mllm_npu_tpu.models.generation.sampler import (
     extract_img_windows)
 from mllm_npu_tpu.models.generation.generate import MLLMGenerator
 from mllm_npu_tpu.utils.testing import TinySpec, build_tiny_mllm, synthetic_batch
+import pytest
 
 SPEC = TinySpec(batch=1, seq=32)
 
@@ -43,6 +44,7 @@ def test_extract_img_windows():
     assert tm[0] and tm[9]
 
 
+@pytest.mark.slow
 def test_greedy_generate_matches_naive_loop():
     model, lm_cfg, _ = build_tiny_mllm(SPEC)
     batch = synthetic_batch(SPEC, cmp_images=1)
@@ -74,6 +76,7 @@ def test_greedy_generate_matches_naive_loop():
     np.testing.assert_array_equal(got, np.asarray(naive, np.int32))
 
 
+@pytest.mark.slow
 def test_generate_with_images_runs():
     model, lm_cfg, _ = build_tiny_mllm(SPEC)
     batch = synthetic_batch(SPEC, cmp_images=1)
@@ -102,6 +105,7 @@ def test_generate_with_images_runs():
     assert out["generate_ids"].shape == out2["generate_ids"].shape
 
 
+@pytest.mark.slow
 def test_padded_batch_matches_individual_generation():
     """Right-padded batch with different prompt lengths must produce the
     same tokens as generating each prompt alone."""
@@ -135,6 +139,7 @@ def test_padded_batch_matches_individual_generation():
     np.testing.assert_array_equal(got[1], solo_b)
 
 
+@pytest.mark.slow
 def test_unrolled_layers_match_scan():
     """unroll_layers=True (per-layer params, scan_layers=False — the
     int8 serving layout) is token-for-token identical to the scan
@@ -166,6 +171,7 @@ def test_unrolled_layers_match_scan():
     assert out.shape == ref.shape
 
 
+@pytest.mark.slow
 def test_speculative_decode_matches_plain_greedy():
     """Prompt-lookup speculation is exact: greedy tokens AND hidden
     states match the plain loop token-for-token, on repetitive prompts
@@ -233,6 +239,7 @@ def test_speculative_padded_prompt_still_accepts():
     assert int(n_iters) <= (T + k) // (k + 1) + 1, int(n_iters)
 
 
+@pytest.mark.slow
 def test_speculative_decode_eos_stop():
     """Speculation respects eos: pick the plain run's 4th generated
     token as the eos id — the speculative run must stop at the same

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from mllm_npu_tpu.models.language_models.llama import (
     LlamaConfig, LlamaForCausalLM, causal_lm_loss, init_cache)
 
@@ -38,6 +40,7 @@ def test_loss_finite_and_masked():
     assert float(loss0) == 0.0
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward():
     """Prefill + step-by-step decode must reproduce the full forward logits."""
     cfg = CFG
@@ -70,6 +73,7 @@ def test_scan_vs_loop_same_params_structure():
     assert scan_kernel.shape == (CFG.num_hidden_layers,) + loop_kernel.shape
 
 
+@pytest.mark.slow
 def test_grad_flows():
     model, params, ids = _init()
 
@@ -83,6 +87,7 @@ def test_grad_flows():
     assert float(jnp.abs(leaf).sum()) > 0
 
 
+@pytest.mark.slow
 def test_lora_dropout_active_only_with_rng():
     cfg = LlamaConfig.tiny(attention_impl="eager", lora_rank=4,
                            lora_alpha=8.0, lora_dropout=0.5,
@@ -111,6 +116,7 @@ def test_lora_dropout_active_only_with_rng():
     assert np.abs(np.asarray(r1) - np.asarray(det1)).max() > 0
 
 
+@pytest.mark.slow
 def test_fused_projections_match_unfused():
     """Serving-time qkv/gate_up fusion is numerically identical
     (utils.weights.fuse_llama_projections + fused_projections=True)."""
@@ -169,6 +175,7 @@ def test_fused_interleaved_tp_layout():
     np.testing.assert_allclose(logits, np.asarray(logits3), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sequence_classification_head():
     """SeqCls head parity surface (reference llama3.py:1691): pooled
     logits read at the last non-pad token; regression/single-label/
@@ -226,6 +233,7 @@ def test_question_answering_head():
     assert float(loss_ign) == 0.0
 
 
+@pytest.mark.slow
 def test_merge_lora_matches_adapter_forward():
     """merge_lora_params (peft merge_and_unload parity): folding
     W + (alpha/r)AB into plain kernels reproduces the adapter model's

@@ -7,6 +7,7 @@ import numpy as np
 from mllm_npu_tpu.models.mllm import (compact_selected, gather_masked_tokens,
                                       scatter_image_embeds)
 from mllm_npu_tpu.utils.testing import TinySpec, build_tiny_mllm, synthetic_batch
+import pytest
 
 SPEC = TinySpec()
 
@@ -40,6 +41,7 @@ def test_compact_and_gather():
                                   np.asarray(hidden[0])[[1, 2, 5]])
 
 
+@pytest.mark.slow
 def test_mllm_forward_losses():
     model, _, _ = build_tiny_mllm(SPEC)
     batch = synthetic_batch(SPEC, cmp_images=2)
@@ -63,6 +65,7 @@ def test_seed_forward_losses_and_gen_mask_effect():
     assert float(out0["rec_loss"]) == 0.0
 
 
+@pytest.mark.slow
 def test_frozen_vision_encoder_gets_zero_grads():
     model, _, _ = build_tiny_mllm(SPEC)
     batch = synthetic_batch(SPEC, cmp_images=1)

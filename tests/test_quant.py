@@ -2,6 +2,7 @@
 roundtrip, the dequant-matmul (CPU fallback + interpret-mode Pallas),
 and end-to-end logits parity of a quantized tiny Llama."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def test_int8_dense_module():
     assert float(jnp.abs(out).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_quantized_llama_logits_parity():
     from mllm_npu_tpu.models.language_models.llama import (LlamaConfig,
                                                            LlamaForCausalLM)
@@ -96,6 +98,7 @@ def test_scan_stacked_kernels_quantize():
     assert q["scale"].shape == (3, 8)
 
 
+@pytest.mark.slow
 def test_generator_quantize_int8_generates():
     """End-to-end: MLLMGenerator(quantize_int8=True) rebuilds the LLM in
     int8 layout and still decodes."""

@@ -62,12 +62,14 @@ def test_controller_registry_and_dispatch():
     assert not c.receive_heart_beat("gone", 0)
 
 
+@pytest.mark.slow
 def test_engine_comprehension_runs():
     eng = _tiny_engine()
     text = eng.comprehension("what is this?", _img_b64())
     assert isinstance(text, str)
 
 
+@pytest.mark.slow
 def test_worker_and_controller_http():
     eng = _tiny_engine()
 
@@ -119,6 +121,7 @@ def test_worker_and_controller_http():
     asyncio.run(run())
 
 
+@pytest.mark.slow
 def test_batched_engine_serving_concurrent():
     """BatchedInferenceEngine: concurrent comprehension requests batch
     through one shared KV cache and match the single-request engine's
@@ -168,6 +171,7 @@ def test_worker_error_contract():
     assert msg["error_code"] in (1, 3)   # no adapter loaded yet
 
 
+@pytest.mark.slow
 def test_worker_image_gen_end_to_end(monkeypatch):
     """image_gen=True through the full stack: SEED decode → forced
     ladder → output projector → DEBUG-sized SDXL adapter → b64 JPEG."""
@@ -229,6 +233,7 @@ def test_serve_utils_logger_and_semaphore(tmp_path, monkeypatch):
     assert serve_utils.pretty_print_semaphore(None) == "None"
 
 
+@pytest.mark.slow
 def test_add_special_tokens_tool(tmp_path):
     """The tokenizer-prep CLI adds the <img_*>/<loc-*>/span/box tokens
     and saves a loadable tokenizer (reference
@@ -270,6 +275,7 @@ def test_add_special_tokens_tool(tmp_path):
     assert loaded.pad_token == "<unk>"
 
 
+@pytest.mark.slow
 def test_streaming_comprehension():
     """stream=true: the worker emits multiple b'\\0'-delimited chunks of
     cumulative text; each is a prefix of the next and the final chunk
@@ -349,6 +355,7 @@ def test_worker_config_json(tmp_path):
     assert args.batched and args.num_slots == 8
 
 
+@pytest.mark.slow
 def test_engine_flags_thread_from_config(monkeypatch):
     """load_engine_from_config's engine-level flags reach the generator:
     fused+int8+unrolled is the 8B serving stack (VERDICT r1 item 8)."""

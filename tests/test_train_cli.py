@@ -83,6 +83,7 @@ sample_weights: [1.0]
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setenv("DEBUG_FLAG", "True")
     _make_caption_tar(tmp_path / "shard-000.tar")

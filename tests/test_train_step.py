@@ -43,8 +43,12 @@ def _setup(mesh_cfg: MeshConfig, grad_accum=1):
 
 
 @pytest.mark.parametrize("mesh_cfg", [
-    MeshConfig(data=8, fsdp=1, tensor=1),
-    MeshConfig(data=2, fsdp=4, tensor=1),
+    pytest.param(MeshConfig(data=8, fsdp=1, tensor=1),
+                 marks=pytest.mark.slow),
+    pytest.param(MeshConfig(data=2, fsdp=4, tensor=1),
+                 marks=pytest.mark.slow),
+    # the dp×fsdp×tp mesh stays in the fast suite: it exercises every
+    # sharding axis in one compile
     MeshConfig(data=2, fsdp=2, tensor=2),
 ])
 def test_train_step_runs_all_meshes(mesh_cfg):
@@ -55,6 +59,7 @@ def test_train_step_runs_all_meshes(mesh_cfg):
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_loss_identical_across_meshes():
     """Sharding must not change numerics (GSPMD correctness check)."""
     losses = []
@@ -65,6 +70,7 @@ def test_loss_identical_across_meshes():
     assert abs(losses[0] - losses[1]) < 1e-4, losses
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_big_batch():
     """NUMERIC equivalence (reference accelerator.accumulate semantics,
     train.py:91-96,326): one step of ga=2 x B/2 must produce the same
@@ -112,6 +118,7 @@ def test_grad_accum_matches_big_batch():
                                    atol=1e-4, rtol=3e-5)
 
 
+@pytest.mark.slow
 def test_packed_matches_padded_loss():
     """pack_samples + segment-id attention + per-segment positions must
     reproduce the padded-batch loss exactly: same supervised-target set,
@@ -166,6 +173,7 @@ def test_packed_matches_padded_loss():
     assert abs(lp - lk) < 2e-5, (lp, lk)
 
 
+@pytest.mark.slow
 def test_frozen_params_unchanged_after_step():
     jitted, state, batch = _setup(MeshConfig(data=8))
     before = jax.tree_util.tree_map(

@@ -5,6 +5,7 @@ match the Flax modules' init tree exactly (keys + shapes)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 import flax
@@ -125,6 +126,7 @@ def _tree_struct(params):
             for k, v in flat.items()}
 
 
+@pytest.mark.slow
 def test_unet_conversion_matches_module_tree():
     cfg = UNetConfig.tiny()
     unet = UNet2DConditionModel(cfg)
@@ -201,6 +203,7 @@ def synth_vae_sd(cfg: VAEConfig) -> dict:
     return sd
 
 
+@pytest.mark.slow
 def test_vae_conversion_matches_module_tree():
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg)
