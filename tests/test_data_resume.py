@@ -267,6 +267,7 @@ class _PicklableTextFactory:
             shard_for_host=False, seed=seed)
 
 
+@pytest.mark.slow
 def test_multiprocess_loader_spawn_workers(tmp_path):
     """A picklable factory must run under the default spawn context (the
     TPU-safe path — no forking a process that owns the runtime)."""

@@ -96,6 +96,7 @@ def test_ddpm_add_noise_limits():
     assert float(out[1].mean()) < 0.3
 
 
+@pytest.mark.slow
 def test_resamplers():
     r = Resampler(dim=32, depth=2, dim_head=8, heads=4, num_queries=8,
                   embedding_dim=16, output_dim=24)
@@ -204,6 +205,7 @@ def _tiny_ip_unet(ip_tokens=4):
     return unet, params, cfg, (sample, t, ctx)
 
 
+@pytest.mark.slow
 def test_ip_scale_zero_ignores_image_tokens():
     """With ip_scale=0 the decoupled image path is scaled out: outputs
     must be invariant to the image tokens (reference IPAttnProcessor

@@ -35,6 +35,7 @@ def eval_model():
     return EvalModel(engine)
 
 
+@pytest.mark.slow
 def test_mmlu_flow(eval_model, tmp_path, monkeypatch):
     import pandas as pd
     (tmp_path / "dev").mkdir()
@@ -50,6 +51,7 @@ def test_mmlu_flow(eval_model, tmp_path, monkeypatch):
     assert Path("result_mmlu.json").exists()
 
 
+@pytest.mark.slow
 def test_bbh_flow(eval_model, tmp_path, monkeypatch):
     (tmp_path / "data").mkdir()
     data = {"examples": [{"input": f"q{i}", "target": "yes"}
@@ -108,6 +110,7 @@ def test_seed_bench2_ranking(eval_model, tmp_path, monkeypatch):
     assert answers[0]["prediction"] in "ABCD"
 
 
+@pytest.mark.slow
 def test_lm_loss_ranks_sane(eval_model, tmp_path):
     img = tmp_path / "i.jpg"
     Image.new("RGB", (500, 500), (9, 9, 9)).save(img)

@@ -51,6 +51,7 @@ def test_mllm_forward_losses():
     assert float(out["lm_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_seed_forward_losses_and_gen_mask_effect():
     model, _, _ = build_tiny_mllm(SPEC, seed=True)
     batch = synthetic_batch(SPEC, cmp_images=1, gen_images=1)
@@ -81,6 +82,7 @@ def test_frozen_vision_encoder_gets_zero_grads():
     assert any(float(jnp.abs(x).sum()) > 0 for x in proj_g)
 
 
+@pytest.mark.slow
 def test_packed_rows_isolate_samples():
     """Logits of a sample packed behind another must equal its solo
     logits (segment-id attention + per-segment positions)."""

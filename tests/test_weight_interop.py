@@ -21,6 +21,7 @@ from mllm_npu_tpu.utils.weights import (torch_to_flax_llama,
                                         torch_to_flax_siglip)
 
 
+@pytest.mark.slow
 def test_llama_logit_parity_with_hf():
     from transformers import LlamaConfig as HFLlamaConfig
     from transformers import LlamaForCausalLM as HFLlama
