@@ -37,6 +37,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()
     import jax.numpy as jnp
     import numpy as np
 

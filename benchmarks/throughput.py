@@ -37,9 +37,21 @@ def main():
     p.add_argument("--unroll", action="store_true",
                    help="per-layer params (scan_layers=False): int8 "
                         "kernels read weights without scan-slice copies")
+    p.add_argument("--prefill_chunk", type=int, default=None,
+                   help="admit prompts N tokens per tick (chunked "
+                        "prefill) instead of one monolithic prefill")
+    p.add_argument("--stall_probe", type=int, default=0, metavar="SP",
+                   help="measure the decode stall a long (SP-token) "
+                        "prompt admission inflicts on running slots: "
+                        "per-tick wall times before/during admission "
+                        "(the chunked-prefill value proposition — "
+                        "compare --prefill_chunk on/off)")
     args = p.parse_args()
 
     import jax
+
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()
     import jax.numpy as jnp
     import numpy as np
 
@@ -116,7 +128,12 @@ def main():
     eng = ContinuousBatchingEngine(
         model, lm_cfg, params, num_slots=args.slots,
         max_len=args.max_len, block_steps=args.block_steps,
-        prompt_bucket=S, eos_token_id=-1)
+        prompt_bucket=S, eos_token_id=-1,
+        prefill_chunk=args.prefill_chunk)
+
+    if args.stall_probe:
+        _stall_probe(args, eng, ids, lm_cfg, rs)
+        return
     n_warm, n_meas = 2, 8
     budget = args.block_steps * (n_warm + n_meas) + 2
     for _ in range(args.slots):
@@ -137,6 +154,71 @@ def main():
         "prompt_tokens": S, "block_steps": args.block_steps,
         "agg_tokens_per_sec": round(tok_per_sec, 1),
         "step_ms_all_slots": round(per_tok_ms, 3),
+    }))
+
+
+def _stall_probe(args, eng, ids, lm_cfg, rs):
+    """Decode-stall measurement: per-tick wall times of a steadily
+    decoding engine before vs during the admission of a long prompt.
+
+    Monolithic prefill executes the whole prompt on-device inside one
+    tick, so every active slot's next block is delayed by the full
+    prefill; chunked prefill (--prefill_chunk) bounds the per-tick
+    added latency to one chunk. STATUS.md item 7 — at the 500m scale
+    pipelined dispatch hid the ~30 ms prefill entirely; this probe
+    exists to measure the bound where prefill latency exceeds a decode
+    block (8B-class prompts)."""
+    import time
+
+    import numpy as np
+
+    SP = args.stall_probe
+    S = args.prompt_tokens
+    # chunked admission admits ONE request per tick — warm long enough
+    # for every short slot to be active before the baseline window
+    n_warm, n_base, n_dur = args.slots + 4, 10, 16
+    need = (n_warm + n_base + n_dur + 3) * args.block_steps
+    assert args.max_len >= S + need + args.block_steps, (
+        f"--max_len too small for the probe: need >= "
+        f"{S + need + args.block_steps}")
+    assert args.max_len >= SP + 4 + args.block_steps, "--max_len < probe"
+
+    long_ids = rs.randint(5, lm_cfg.vocab_size, (SP,)).astype(np.int32)
+    short = np.asarray(ids[0])
+
+    # warm ALL compiles out of band: the long bucket's prefill (or its
+    # chunk graphs) and the decode block
+    r = eng.submit(long_ids, max_new_tokens=1)
+    eng.run_until_idle()
+    assert r.done and not r.error, r.error
+
+    for _ in range(args.slots - 1):
+        eng.submit(short, max_new_tokens=need)
+    for _ in range(n_warm):
+        eng.step()
+
+    def tick():
+        t0 = time.perf_counter()
+        eng.step()
+        return time.perf_counter() - t0
+
+    base = [tick() for _ in range(n_base)]
+    probe = eng.submit(long_ids, max_new_tokens=4)
+    dur = [tick() for _ in range(n_dur)]
+
+    base_ms = sorted(1e3 * t for t in base)
+    dur_ms = [1e3 * t for t in dur]
+    print(json.dumps({
+        "preset": args.preset, "slots": args.slots,
+        "block_steps": args.block_steps,
+        "prefill_chunk": args.prefill_chunk,
+        "probe_prompt": SP,
+        "tick_ms_p50_baseline": round(base_ms[len(base_ms) // 2], 2),
+        "tick_ms_max_baseline": round(base_ms[-1], 2),
+        "tick_ms_during_admission": [round(t, 2) for t in dur_ms],
+        "tick_ms_max_admission": round(max(dur_ms), 2),
+        "stall_ms": round(max(dur_ms) - base_ms[len(base_ms) // 2], 2),
+        "probe_done": probe.done,
     }))
 
 

@@ -13,6 +13,21 @@ from typing import Optional
 log = logging.getLogger(__name__)
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` (or any explicit platform list) stick.
+
+    Hosted images may force-register a TPU plugin at interpreter start
+    and set ``jax_platforms`` programmatically, which silently overrides
+    the environment variable a CLI user sets. Call this right after
+    ``import jax`` (before any backend init) in scripts that must run
+    where the user pointed them — e.g. CPU smoke runs of the benchmark
+    harnesses (tests do the same dance in tests/conftest.py)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
 def reload_qwen_vit(pretrained_path: str, out_path: str) -> dict:
     """Extract the visual-encoder subtree from a full Qwen-VL checkpoint
     (reference utils.py:126-136 reload_qwen_vit)."""
