@@ -200,29 +200,31 @@ def load_engine_from_config(model_config_path: str,
                             cast_bf16: bool = True,
                             quantize_int8: bool = False,
                             fuse_projections: bool = False,
-                            unroll_layers: bool = False):
+                            unroll_layers: bool = False,
+                            params_checkpoint: str = None):
     """Build the InferenceEngine from a model YAML (the worker-side
-    analogue of reference worker.py:65-109's model stack load)."""
+    analogue of reference worker.py:65-109's model stack load).
+
+    ``params_checkpoint``: an orbax dir written by
+    scripts/tools/convert_checkpoint.py — params restore as a direct
+    sharded read instead of a per-start torch load + conversion."""
     import jax
 
-    from mllm_npu_tpu.configs import instantiate, load_config
+    from mllm_npu_tpu.configs import instantiate
     from mllm_npu_tpu.models.factory import init_assembly_params
     from mllm_npu_tpu.serve.engine import InferenceEngine
-    from mllm_npu_tpu.utils.testing import synthetic_batch, TinySpec
+    from mllm_npu_tpu.utils.convert import (build_assembly_from_yaml,
+                                            restore_params)
 
-    cfg = load_config(model_config_path)
-    llm = instantiate(cfg["mllm"]["language_model"])
-    bundle = instantiate(cfg["mllm"]["mllm_model"], language_model=llm)
+    bundle, llm, cfg, example = build_assembly_from_yaml(model_config_path)
     tokenizer = _load_tokenizer(cfg["mllm"]["tokenizer"])
     processor = instantiate(cfg["mllm"]["processor"])
-
-    vis_cfg = bundle.module.vision_encoder.config
     nq = bundle.module.projector.num_queries
-    spec = TinySpec(batch=1, seq=8 + 2 * (nq + 2),
-                    image_size=vis_cfg.image_size, nq=nq,
-                    vocab=llm.config.vocab_size, max_images=2)
-    example = synthetic_batch(spec, cmp_images=1)
-    params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
+
+    if params_checkpoint:
+        params = restore_params(bundle, example, params_checkpoint)
+    else:
+        params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
     adapter = None
     if generation_config_path:
         from mllm_npu_tpu.models.factory import build_sdxl_adapter
@@ -299,6 +301,11 @@ def parse_worker_args(argv=None):
                         help="fused qkv/gate_up serving kernels")
     parser.add_argument("--unroll-layers", action="store_true",
                         help="per-layer (non-scan) param layout")
+    parser.add_argument("--params-checkpoint", type=str, default=None,
+                        help="orbax params dir from scripts/tools/"
+                             "convert_checkpoint.py — fast sharded "
+                             "restore instead of per-start torch "
+                             "conversion")
 
     # two-stage parse: a --worker-config JSON supplies defaults for every
     # flag (reference configs/workers/seedx_workers.json:1 wires the full
@@ -332,7 +339,8 @@ def main():
         cast_bf16=not args.no_cast_bf16,
         quantize_int8=args.quantize_int8,
         fuse_projections=args.fuse_projections,
-        unroll_layers=args.unroll_layers)
+        unroll_layers=args.unroll_layers,
+        params_checkpoint=args.params_checkpoint)
     if args.batched:
         args.limit_model_concurrency = max(
             args.limit_model_concurrency, args.num_slots)
