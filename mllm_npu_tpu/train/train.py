@@ -46,6 +46,10 @@ class TrainArgs:
     output_dir: str = "output"
     resume_from_checkpoint: str = ""
     resume_steps: int = 0
+    # orbax params dir from scripts/tools/convert_checkpoint.py — init
+    # params as a direct sharded read instead of per-start torch
+    # conversion (init-time weights, not a training resume)
+    params_checkpoint: str = ""
     learning_rate: float = 1e-4
     weight_decay: float = 0.05
     max_grad_norm: float = 1.0
@@ -150,7 +154,12 @@ def main(argv=None):
     example = _normalize_batch(example)
 
     # ---- params / state ---------------------------------------------------
-    params = init_assembly_params(bundle, example, jax.random.PRNGKey(42))
+    if args.params_checkpoint:
+        from mllm_npu_tpu.utils.convert import restore_params
+        params = restore_params(bundle, example, args.params_checkpoint)
+    else:
+        params = init_assembly_params(bundle, example,
+                                      jax.random.PRNGKey(42))
     log.info(trainable_params_report(params))
     opt_cfg = OptimizerConfig(
         lr=args.learning_rate, weight_decay=args.weight_decay,

@@ -83,7 +83,6 @@ sample_weights: [1.0]
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setenv("DEBUG_FLAG", "True")
     _make_caption_tar(tmp_path / "shard-000.tar")
@@ -116,3 +115,20 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     argv2 = list(argv)
     argv2[argv2.index("--max_steps") + 1] = "6"
     main(argv2)
+
+    # init-from-converted-params (scripts/tools/convert_checkpoint.py →
+    # --params_checkpoint): a fresh run whose initial weights come from
+    # the orbax dir instead of init-time torch conversion
+    from mllm_npu_tpu.utils.convert import convert_model_checkpoint
+    conv_dir = tmp_path / "converted"
+    convert_model_checkpoint(str(model_yaml), str(conv_dir))
+    argv3 = [
+        "--model", str(model_yaml),
+        "--train_dataset", str(data_yaml),
+        "--output_dir", str(tmp_path / "out2"),
+        "--params_checkpoint", str(conv_dir),
+        "--max_steps", "1", "--save_steps", "1", "--log_steps", "1",
+        "--warmup_steps", "0", "--fake_tokenizer",
+    ]
+    main(argv3)
+    assert sorted((tmp_path / "out2").glob("checkpoint_*"))
