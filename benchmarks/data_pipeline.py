@@ -44,7 +44,7 @@ def run(tmp, native: bool, samples: int) -> float:
     os.environ["MLLM_TPU_NATIVE_DECODE"] = "1" if native else "0"
     from mllm_npu_tpu.data.tasks.image_caption import (
         build_caption_datapipes_with_pixels)
-    from mllm_npu_tpu.utils.testing import FakeTokenizer
+    from mllm_npu_tpu.utils.fake_tokenizer import FakeTokenizer
     from mllm_npu_tpu.data.processor import ImageProcessor
 
     pipe = build_caption_datapipes_with_pixels(
@@ -77,7 +77,7 @@ class BatchedCaptionFactory:
         from mllm_npu_tpu.data.processor import ImageProcessor
         from mllm_npu_tpu.data.tasks.image_caption import (
             build_caption_datapipes_with_pixels)
-        from mllm_npu_tpu.utils.testing import FakeTokenizer
+        from mllm_npu_tpu.utils.fake_tokenizer import FakeTokenizer
         return build_caption_datapipes_with_pixels(
             self.root, tokenizer=FakeTokenizer(), max_length=600,
             batch_size=self.batch_size, similarity_thr=0.2,

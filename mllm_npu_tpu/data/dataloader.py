@@ -94,6 +94,13 @@ class DataLoader:
                 "seed": self.seed, "pipe": self._pipe_state}
 
     def load_state_dict(self, state: dict) -> None:
+        if "workers" in state:
+            log.warning(
+                "checkpoint was written by MultiProcessDataLoader but is "
+                "being restored into the threaded DataLoader — the saved "
+                "per-worker positions cannot be applied; the stream "
+                "restarts from the epoch beginning (resume with the same "
+                "--dataloader_workers to keep the exact position)")
         self._steps = state.get("steps", 0)
         self._epoch = state.get("epoch", 0)
         self.seed = state.get("seed", self.seed)
@@ -224,7 +231,26 @@ class MultiProcessDataLoader:
             if done[w]:
                 self._rr += 1
                 continue
-            item = self._queues[w].get()
+            # bounded waits + liveness checks: a worker that dies without
+            # enqueueing (OOM-kill, segfault in native decode) must raise
+            # here, not hang the training loop on a bare get() forever
+            while True:
+                try:
+                    item = self._queues[w].get(timeout=5.0)
+                    break
+                except queue.Empty:
+                    if not self._procs[w].is_alive():
+                        try:  # drain a batch enqueued just before death
+                            item = self._queues[w].get_nowait()
+                            break
+                        except queue.Empty:
+                            pass
+                        code = self._procs[w].exitcode
+                        self.shutdown()
+                        raise RuntimeError(
+                            f"dataloader worker {w} died (exit code "
+                            f"{code}) without yielding — see worker "
+                            f"stderr for the crash")
             if item is None:
                 done[w] = True
                 self._rr += 1
@@ -251,6 +277,13 @@ class MultiProcessDataLoader:
                 "workers": list(self._worker_states)}
 
     def load_state_dict(self, state: dict) -> None:
+        if "workers" not in state:
+            log.warning(
+                "checkpoint was written by the threaded DataLoader but is "
+                "being restored into MultiProcessDataLoader — the saved "
+                "single-stream position cannot be split across workers; "
+                "the stream restarts from the epoch beginning (resume "
+                "with --dataloader_workers 0 to keep the exact position)")
         self._steps = state.get("steps", 0)
         self._epoch = state.get("epoch", 0)
         self.seed = state.get("seed", self.seed)

@@ -216,16 +216,32 @@ def permuted_lines(path: str, seed: int, file_idx: int
     sample-shuffle buffer (whose contents would otherwise be checkpoint
     state) with index-derived shuffling; unreadable files are
     warned-and-skipped (reference JsonlParser robustness)."""
+    # two passes over an offset table instead of materializing the file:
+    # pass 1 records (byte offset, length) per non-empty line (~16 B/line
+    # vs the line bytes themselves — a multi-GB text shard stays out of
+    # RAM, and N dataloader workers don't each hold a copy), pass 2 seeks
+    # in permuted order
+    offsets: list[tuple[int, int]] = []
     try:
         with open(path, "rb") as f:
-            lines = [ln for ln in f if ln.strip()]
+            off = 0
+            for ln in f:
+                if ln.strip():
+                    offsets.append((off, len(ln)))
+                off += len(ln)
     except Exception as e:  # noqa: BLE001
         log.warning("unreadable jsonl %s skipped: %s", path, e)
         return
-    order = list(range(len(lines)))
+    order = list(range(len(offsets)))
     derive_rng(seed, "lines", file_idx).shuffle(order)
-    for i in order:
-        yield lines[i]
+    try:
+        with open(path, "rb") as f:
+            for i in order:
+                start, n = offsets[i]
+                f.seek(start)
+                yield f.read(n)
+    except Exception as e:  # noqa: BLE001
+        log.warning("unreadable jsonl %s skipped: %s", path, e)
 
 
 def group_webdataset(members: Iterable[tuple[str, Any]]

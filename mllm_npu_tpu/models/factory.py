@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from pathlib import Path
 from typing import Any, Optional
 
@@ -50,13 +51,27 @@ def _maybe(path) -> Optional[str]:
     path RAISES outside DEBUG (the reference's ``from_pretrained`` would
     throw too) — silently random-initializing a serving/eval model on a
     typo'd path was a round-1 footgun. Under DEBUG_FLAG missing paths
-    are the expected mode and resolve to None (random tiny init)."""
+    are the expected mode and resolve to None (random tiny init).
+    A hub-style id (``org/name`` with no local file) resolves through
+    ``huggingface_hub.snapshot_download`` — the reference passes hub ids
+    straight to ``from_pretrained`` which downloads the same way."""
     if not path:
         return None
     if Path(str(path)).exists():
         return str(path)
     if _debug():
         return None
+    if re.fullmatch(r"[\w.\-]+/[\w.\-]+", str(path)):
+        try:
+            from huggingface_hub import snapshot_download
+            return snapshot_download(str(path))
+        except Exception as e:  # noqa: BLE001
+            raise FileNotFoundError(
+                f"checkpoint {path!r} is not a local path and hub "
+                f"download failed ({type(e).__name__}: {e}) — "
+                f"pre-download it into pretrained/ or fix the path "
+                f"(DEBUG_FLAG=True for checkpoint-free tiny models)"
+            ) from e
     raise FileNotFoundError(
         f"configured checkpoint path does not exist: {path!r} "
         f"(set DEBUG_FLAG=True for checkpoint-free tiny models)")

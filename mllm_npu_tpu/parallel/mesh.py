@@ -71,7 +71,13 @@ def maybe_init_distributed() -> None:
         return
     kw = {}
     if os.environ.get("JAX_NUM_PROCESSES"):
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not — "
+                "multi-process init needs both (a distinct "
+                "JAX_PROCESS_ID in [0, JAX_NUM_PROCESSES) per process)")
         kw = dict(coordinator_address=addr,
                   num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                  process_id=int(os.environ["JAX_PROCESS_ID"]))
+                  process_id=int(pid))
     jax.distributed.initialize(**kw)

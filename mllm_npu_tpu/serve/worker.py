@@ -136,22 +136,27 @@ def create_app(worker: ModelWorker) -> web.Application:
                 worker.limit_model_concurrency)
         await worker.semaphore.acquire()
         worker.in_flight += 1
-        resp = web.StreamResponse()
-        await resp.prepare(request)
-        loop = asyncio.get_event_loop()
-        q: asyncio.Queue = asyncio.Queue()
-
-        def run():
-            # chunk-at-a-time handoff to the event loop: responses
-            # stream as they are produced (the reference's b'\0'
-            # streaming contract), instead of buffering the full list
-            try:
-                for chunk in worker.generate_gate(params):
-                    loop.call_soon_threadsafe(q.put_nowait, chunk)
-            finally:
-                loop.call_soon_threadsafe(q.put_nowait, None)
-
+        # one try/finally covers EVERYTHING after acquisition — a client
+        # that disconnects during resp.prepare() raises here, and without
+        # the finally each such disconnect would permanently leak one
+        # semaphore slot and inflate get_queue_length() (deadlocking the
+        # worker after limit_model_concurrency disconnects)
         try:
+            resp = web.StreamResponse()
+            await resp.prepare(request)
+            loop = asyncio.get_event_loop()
+            q: asyncio.Queue = asyncio.Queue()
+
+            def run():
+                # chunk-at-a-time handoff to the event loop: responses
+                # stream as they are produced (the reference's b'\0'
+                # streaming contract), instead of buffering the full list
+                try:
+                    for chunk in worker.generate_gate(params):
+                        loop.call_soon_threadsafe(q.put_nowait, chunk)
+                finally:
+                    loop.call_soon_threadsafe(q.put_nowait, None)
+
             fut = loop.run_in_executor(None, run)
             while True:
                 chunk = await q.get()
@@ -279,8 +284,13 @@ def parse_worker_args(argv=None):
     parser.add_argument("--model-config", type=str, default=None)
     parser.add_argument("--generation-config", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    # boolean flags use BooleanOptionalAction so a value a worker-config
+    # JSON turns ON can be overridden OFF from the CLI (--no-batched,
+    # --no-quantize-int8, ...) — plain store_true has no negative form
     parser.add_argument("--no-register", action="store_true")
-    parser.add_argument("--batched", action="store_true",
+    parser.add_argument("--batched",
+                        action=argparse.BooleanOptionalAction,
+                        default=False,
                         help="continuous-batching comprehension: "
                              "concurrent requests share one KV cache")
     parser.add_argument("--num-slots", type=int, default=8)
@@ -293,13 +303,22 @@ def parse_worker_args(argv=None):
                              "per tick so long prompts don't stall "
                              "active decode slots")
     # engine-level acceleration flags (also settable from the JSON)
-    parser.add_argument("--quantize-int8", action="store_true",
+    parser.add_argument("--quantize-int8",
+                        action=argparse.BooleanOptionalAction,
+                        default=False,
                         help="int8 weight-only LLM serving")
-    parser.add_argument("--no-cast-bf16", action="store_true",
-                        help="keep fp32 weights (default casts to bf16)")
-    parser.add_argument("--fuse-projections", action="store_true",
+    parser.add_argument("--cast-bf16",
+                        action=argparse.BooleanOptionalAction,
+                        default=True, dest="cast_bf16",
+                        help="cast fp32 weights to bf16 (default on; "
+                             "--no-cast-bf16 keeps fp32)")
+    parser.add_argument("--fuse-projections",
+                        action=argparse.BooleanOptionalAction,
+                        default=False,
                         help="fused qkv/gate_up serving kernels")
-    parser.add_argument("--unroll-layers", action="store_true",
+    parser.add_argument("--unroll-layers",
+                        action=argparse.BooleanOptionalAction,
+                        default=False,
                         help="per-layer (non-scan) param layout")
     parser.add_argument("--params-checkpoint", type=str, default=None,
                         help="orbax params dir from scripts/tools/"
@@ -336,7 +355,7 @@ def main():
         max_len=args.max_cache_len,
         tensor_parallel=args.tensor_parallel,
         prefill_chunk=args.prefill_chunk,
-        cast_bf16=not args.no_cast_bf16,
+        cast_bf16=args.cast_bf16,
         quantize_int8=args.quantize_int8,
         fuse_projections=args.fuse_projections,
         unroll_layers=args.unroll_layers,

@@ -194,8 +194,14 @@ def main(argv=None):
     if resumed_step:
         log.info("resumed from checkpoint-%d", resumed_step)
 
+    # data position snapshot taken ONLY at optimizer-step boundaries: with
+    # grad accumulation the loader may be 1..ga-1 yielded-but-unapplied
+    # microbatches ahead, and saving loader.state_dict() at that moment
+    # would skip them on resume (silent data loss per preemption)
+    applied_data_state = loader.state_dict()
+
     def save(step):
-        mgr.save(step, state, data_state=loader.state_dict())
+        mgr.save(step, state, data_state=applied_data_state)
 
     install_sigterm_checkpoint(lambda: (save(int(state.step)), mgr.wait()))
 
@@ -246,6 +252,8 @@ def main(argv=None):
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
 
+        # every microbatch yielded so far is now part of an applied step
+        applied_data_state = loader.state_dict()
         step += 1
         if step % args.log_steps == 0:
             loss_v = float(loss)

@@ -491,7 +491,6 @@ def _unet_torch_key_to_flax(key: str):
         return t
 
     parts = key.split(".")
-    leafname = {"weight": None, "bias": "bias"}  # resolved per family
     # --- locate the top-level flax module name -------------------------
     if parts[0] in ("conv_in", "conv_out"):
         base, rest = (parts[0],), parts[1:]

@@ -77,6 +77,28 @@ def _assert_same_batches(got, want):
             f"batch {i} diverged after resume"
 
 
+class _ExitingPipeFactory:
+    """Kills its worker process mid-iteration with no exception —
+    simulating an OOM-kill/segfault the queue protocol can't report."""
+
+    def __call__(self, seed):
+        import os
+
+        def gen():
+            os._exit(9)
+            yield  # pragma: no cover
+        return gen()
+
+
+def test_dead_worker_raises_instead_of_hanging(tmp_path):
+    """A worker that dies without enqueueing must surface as a
+    RuntimeError in the parent, not an eternal queue.get()."""
+    loader = MultiProcessDataLoader(_ExitingPipeFactory(), num_workers=1,
+                                    prefetch=2, mp_context="fork")
+    with pytest.raises(RuntimeError, match="died"):
+        next(iter(loader))
+
+
 def test_caption_stream_resume_mid_epoch(tmp_path):
     _make_caption_tar(tmp_path / "shard-000.tar", 0)
     _make_caption_tar(tmp_path / "shard-001.tar", 6)

@@ -78,6 +78,17 @@ def _free_port():
     return port
 
 
+def test_missing_process_id_raises(monkeypatch):
+    """JAX_NUM_PROCESSES without JAX_PROCESS_ID must be a clear config
+    error naming the missing variable, not a raw KeyError."""
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    from mllm_npu_tpu.parallel.mesh import maybe_init_distributed
+    with pytest.raises(RuntimeError, match="JAX_PROCESS_ID"):
+        maybe_init_distributed()
+
+
 @pytest.mark.slow
 def test_two_process_global_mesh(tmp_path):
     script = tmp_path / "worker.py"

@@ -343,6 +343,15 @@ def test_worker_config_json(tmp_path):
                               "--model-name", "cli-wins"])
     assert args.model_name == "cli-wins"          # CLI beats JSON
 
+    # JSON-enabled booleans must be overridable OFF from the CLI
+    args = parse_worker_args(["--worker-config", str(p),
+                              "--no-batched", "--no-fuse-projections"])
+    assert not args.batched and not args.fuse_projections
+    assert args.cast_bf16   # default stays on
+    args = parse_worker_args(["--worker-config", str(p),
+                              "--no-cast-bf16"])
+    assert not args.cast_bf16
+
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"modle_config": "typo"}))
     with pytest.raises(SystemExit):
