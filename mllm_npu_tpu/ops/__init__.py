@@ -157,7 +157,8 @@ _FLASH_MESH_STACK: list = []
 
 
 @contextlib.contextmanager
-def flash_mesh(mesh, batch_axes=("data", "fsdp"), head_axis="tensor"):
+def flash_mesh(mesh, batch_axes=("dcn_data", "data", "fsdp"),
+               head_axis="tensor"):
     """Route flash-attention calls through shard_map over `mesh` while
     tracing (batch on `batch_axes`, heads on `head_axis`)."""
     _FLASH_MESH_STACK.append((mesh, tuple(batch_axes), head_axis))

@@ -30,32 +30,57 @@ class MeshConfig:
     data: int = -1     # -1: infer from device count
     fsdp: int = 1
     tensor: int = 1
+    # multi-slice: replicas over the DCN (data-center network) between
+    # TPU slices. Gradient all-reduce is the only cross-slice traffic —
+    # the scaling-book recipe: keep model axes (fsdp/tensor) on ICI
+    # inside a slice, put pure data parallelism on DCN. 1 = single slice.
+    dcn_data: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        assert n_devices % max(self.dcn_data, 1) == 0, (
+            f"{n_devices} devices not divisible by dcn_data="
+            f"{self.dcn_data}")
+        per_slice = n_devices // max(self.dcn_data, 1)
         dims = [self.data, self.fsdp, self.tensor]
         known = 1
         for d in dims:
             if d != -1:
                 known *= d
         if -1 in dims:
-            assert n_devices % known == 0, (
-                f"{n_devices} devices not divisible by fixed axes {known}")
-            infer = n_devices // known
+            assert per_slice % known == 0, (
+                f"{per_slice} devices not divisible by fixed axes {known}")
+            infer = per_slice // known
             dims = [infer if d == -1 else d for d in dims]
         total = dims[0] * dims[1] * dims[2]
-        assert total == n_devices, (
-            f"mesh {dims} != device count {n_devices}")
-        return tuple(dims)
+        assert total == per_slice, (
+            f"mesh {dims} != per-slice device count {per_slice}")
+        return (max(self.dcn_data, 1), *dims)
 
 
-AXIS_NAMES = ("data", "fsdp", "tensor")
+AXIS_NAMES = ("dcn_data", "data", "fsdp", "tensor")
 
 
 def build_mesh(config: MeshConfig = MeshConfig(),
                devices: Optional[list] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     dims = config.resolve(len(devices))
-    arr = np.asarray(devices).reshape(dims)
+    if dims[0] > 1:
+        # multi-slice: lay devices out so the dcn_data axis crosses
+        # slice boundaries and the ICI axes stay inside a slice.
+        # create_hybrid_device_mesh reads device slice_index attributes;
+        # on homogeneous/virtual platforms (no slice_index) a plain
+        # reshape gives the same logical mesh.
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                dims[1:], (dims[0], 1, 1), devices=devices)
+            # hybrid mesh shape is (dcn*data, fsdp, tensor) per docs —
+            # reshape to the 4-axis layout
+            arr = np.asarray(arr).reshape(dims)
+        except Exception:  # noqa: BLE001 — no slice metadata (CPU/1-slice)
+            arr = np.asarray(devices).reshape(dims)
+    else:
+        arr = np.asarray(devices).reshape(dims)
     return Mesh(arr, AXIS_NAMES)
 
 

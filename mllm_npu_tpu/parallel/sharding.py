@@ -131,15 +131,20 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
 
 
 def batch_sharding(mesh: Mesh, batch: Any) -> Any:
-    """Shard batch arrays along their leading dim over (data, fsdp) when
-    divisible (fsdp also consumes batch — ZeRO shards the batch too);
-    replicate otherwise (tiny masks etc.)."""
-    dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+    """Shard batch arrays along their leading dim over the batch-like
+    axes — (dcn_data, data, fsdp) — when divisible (fsdp also consumes
+    batch — ZeRO shards the batch too; dcn_data is cross-slice data
+    parallelism); replicate otherwise (tiny masks etc.)."""
+    axes = tuple(a for a in ("dcn_data", "data", "fsdp")
+                 if mesh.shape.get(a, 1) > 1) or ("data",)
+    dp = 1
+    for a in axes:
+        dp *= mesh.shape.get(a, 1)
 
     def spec_for(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0 \
                 and x.shape[0] >= dp:
-            return NamedSharding(mesh, P(("data", "fsdp")))
+            return NamedSharding(mesh, P(axes))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec_for, batch)

@@ -50,6 +50,10 @@ def _setup(mesh_cfg: MeshConfig, grad_accum=1):
     # the dp×fsdp×tp mesh stays in the fast suite: it exercises every
     # sharding axis in one compile
     MeshConfig(data=2, fsdp=2, tensor=2),
+    # multi-slice layout: cross-slice data parallelism on the dcn axis
+    # (scaling-book recipe — model axes on ICI, replicas on DCN)
+    pytest.param(MeshConfig(dcn_data=2, data=2, fsdp=2, tensor=1),
+                 marks=pytest.mark.slow),
 ])
 def test_train_step_runs_all_meshes(mesh_cfg):
     jitted, state, batch = _setup(mesh_cfg)
@@ -57,6 +61,14 @@ def test_train_step_runs_all_meshes(mesh_cfg):
     assert np.isfinite(float(loss))
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_mesh_config_resolve_dcn():
+    cfg = MeshConfig(dcn_data=2, data=-1, fsdp=2, tensor=1)
+    assert cfg.resolve(8) == (2, 2, 2, 1)
+    assert MeshConfig().resolve(8) == (1, 8, 1, 1)
+    with pytest.raises(AssertionError):
+        MeshConfig(dcn_data=3).resolve(8)
 
 
 @pytest.mark.slow
