@@ -68,6 +68,7 @@ class TrainArgs:
     mesh_data: int = -1
     mesh_fsdp: int = 1
     mesh_tensor: int = 1
+    mesh_dcn_data: int = 1   # multi-slice: data-parallel replicas on DCN
     # observability
     project_name: str = "mllm_tpu"
     run_name: str = ""
@@ -125,7 +126,8 @@ def main(argv=None):
 
     maybe_init_distributed()
     mesh = build_mesh(MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                                 tensor=args.mesh_tensor))
+                                 tensor=args.mesh_tensor,
+                                 dcn_data=args.mesh_dcn_data))
     log.info("mesh: %s", dict(mesh.shape))
 
     # ---- model ------------------------------------------------------------
