@@ -32,6 +32,9 @@ def main():
     p.add_argument("--fp32_weights", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM (ops/quant.py)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 group-scale weight-only LLM (half int8's "
+                        "weight streaming)")
     p.add_argument("--fused", action="store_true",
                    help="fused qkv/gate_up projections")
     args = p.parse_args()
@@ -60,14 +63,16 @@ def main():
         # alone is 16GB); the model is built quantized from the start so
         # init allocates int8 kernels directly (a float init + convert
         # would OOM). --fused likewise folds into the initial config.
-        assert args.int8, "8B on a 16GB chip requires --int8"
+        assert args.int8 or args.int4, \
+            "8B on a 16GB chip requires --int8 or --int4"
         # scan_layers=False: nn.scan's per-layer weight slicing
         # materializes a full copy of each int8 kernel every decode
         # step (pallas operands can't fuse a dynamic-slice the way XLA
         # dots do) — profiled at ~9ms/token of pure copy at 8B.
         # Unrolled layers feed the kernels straight from HBM.
         lm_cfg = LlamaConfig.llama3_8b(
-            quantization="int8", fused_projections=args.fused,
+            quantization="int4" if args.int4 else "int8",
+            fused_projections=args.fused,
             scan_layers=False)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
@@ -123,6 +128,11 @@ def main():
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params, quantize_llama_params,
             quantization="int8")
+    if args.int4 and args.preset != "8b":
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params,
+            lambda p_: quantize_llama_params(p_, bits=4),
+            quantization="int4")
 
     max_len = S + args.decode_tokens
 
@@ -201,7 +211,7 @@ def main():
         "harness_rtt_ms": round(rtt * 1e3, 2),
         "first_token_onhost_ms": round(
             (statistics.median(prefill_times) - rtt) * 1e3, 2),
-        "preset": args.preset, "int8": args.int8,
+        "preset": args.preset, "int8": args.int8, "int4": args.int4,
         "prompt_tokens": S, "image_patches": N,
         "first_token_p50_ms": round(
             statistics.median(prefill_times) * 1e3, 2),

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--max_len", type=int, default=512)
     p.add_argument("--block_steps", type=int, default=32)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 group-scale weight-only LLM")
     p.add_argument("--fused", action="store_true")
     p.add_argument("--unroll", action="store_true",
                    help="per-layer params (scan_layers=False): int8 "
@@ -71,9 +73,11 @@ def main():
     elif args.preset == "8b":
         # flagship on one 16GB v5e: int8 + unrolled layers required
         # (see benchmarks/latency.py 8b preset for the rationale)
-        assert args.int8 and args.unroll, "8B needs --int8 --unroll"
+        assert (args.int8 or args.int4) and args.unroll, \
+            "8B needs --int8/--int4 --unroll"
         lm_cfg = LlamaConfig.llama3_8b(
-            quantization="int8", fused_projections=args.fused,
+            quantization="int4" if args.int4 else "int8",
+            fused_projections=args.fused,
             scan_layers=False)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
@@ -118,6 +122,11 @@ def main():
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params, quantize_llama_params,
             quantization="int8")
+    if args.int4 and args.preset != "8b":
+        model, lm_cfg, params = rebuild_llm(
+            model, lm_cfg, params,
+            lambda p_: quantize_llama_params(p_, bits=4),
+            quantization="int4")
     if args.unroll and args.preset != "8b":
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params, unstack_llama_params,
@@ -150,7 +159,7 @@ def main():
 
     print(json.dumps({
         "preset": args.preset, "slots": args.slots,
-        "int8": args.int8, "fused": args.fused,
+        "int8": args.int8, "int4": args.int4, "fused": args.fused,
         "prompt_tokens": S, "block_steps": args.block_steps,
         "agg_tokens_per_sec": round(tok_per_sec, 1),
         "step_ms_all_slots": round(per_tok_ms, 3),

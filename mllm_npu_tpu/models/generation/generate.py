@@ -61,6 +61,7 @@ class MLLMGenerator:
                  cache_dtype=jnp.bfloat16,
                  cast_params_bf16: bool = False,
                  quantize_int8: bool = False,
+                 quantize_int4: bool = False,
                  merge_lora: bool = False,
                  fuse_projections: bool = False,
                  fuse_shards: int = 1,
@@ -68,7 +69,7 @@ class MLLMGenerator:
                  speculative_k: int = 0,
                  speculative_ngram: int = 3):
         if lm_config.lora_rank > 0 and (merge_lora or fuse_projections
-                                        or quantize_int8):
+                                        or quantize_int8 or quantize_int4):
             # fold adapters into the base kernels for deployment (peft
             # merge_and_unload parity) — fused/int8 layouts require the
             # plain kernel layout, and merged decode also drops the
@@ -96,13 +97,18 @@ class MLLMGenerator:
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 params)
-        if quantize_int8:
-            # int8 weight-only LLM: halve the weight traffic again
-            # (ops/quant.py). LoRA'd LLMs were auto-merged above.
+        if quantize_int8 or quantize_int4:
+            # int8/int4 weight-only LLM: halve (or quarter) the weight
+            # traffic (ops/quant.py). int4 uses group-wise scales.
+            # LoRA'd LLMs were auto-merged above.
+            assert not (quantize_int8 and quantize_int4), \
+                "pick one of int8 / int4"
             from mllm_npu_tpu.utils.weights import quantize_llama_params
+            bits = 4 if quantize_int4 else 8
             model, lm_config, params = rebuild_llm(
-                model, lm_config, params, quantize_llama_params,
-                quantization="int8")
+                model, lm_config, params,
+                lambda p: quantize_llama_params(p, bits=bits),
+                quantization=f"int{bits}")
         if unroll_layers:
             # per-layer params instead of nn.scan's stacked layout:
             # scan slices every layer's weights out of the stacked

@@ -67,6 +67,9 @@ class LlamaConfig:
     # int8 weight-only serving path (ops/quant.py): "none" | "int8".
     # Convert trained params with utils.weights.quantize_llama_params.
     quantization: str = "none"
+    # int4 group-scale granularity along K (smaller = more accurate,
+    # more scale traffic); must match quantize_llama_params(group_size=)
+    quant_group_size: int = 256
     # serving-time projection fusion: one qkv_proj matmul instead of
     # q/k/v and one gate_up_proj instead of gate/up. Fewer, larger
     # matvecs = fewer kernel launches + better HBM streaming in the
@@ -149,6 +152,10 @@ def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
         if cfg.quantization == "int8":
             from mllm_npu_tpu.ops.quant import Int8Dense
             return Int8Dense(features, dtype=dtype, name=name)
+        if cfg.quantization == "int4":
+            from mllm_npu_tpu.ops.quant import Int4Dense
+            return Int4Dense(features, group_size=cfg.quant_group_size,
+                             dtype=dtype, name=name)
         return nn.Dense(features, use_bias=False, dtype=dtype,
                         param_dtype=param_dtype, name=name)
     return dense
@@ -541,6 +548,12 @@ class LlamaForCausalLM(nn.Module):
             if cfg.quantization == "int8":
                 from mllm_npu_tpu.ops.quant import Int8Dense
                 self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
+                                         name="lm_head")
+            elif cfg.quantization == "int4":
+                from mllm_npu_tpu.ops.quant import Int4Dense
+                self.lm_head = Int4Dense(cfg.vocab_size,
+                                         group_size=cfg.quant_group_size,
+                                         dtype=self.dtype,
                                          name="lm_head")
             else:
                 self.lm_head = nn.Dense(

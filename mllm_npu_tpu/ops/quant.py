@@ -150,6 +150,158 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# ---------------------------------------------------------------------------
+# int4 (group-wise scales): decode at 8B scale is weight-streaming-bound,
+# so int4 storage is the next ~2x after int8 — XLA packs S4 two-per-byte
+# in HBM. Per-channel scales are too coarse at 4 bits; group-wise scales
+# along K (group_size, default 256) are the standard RTN recipe.
+# ---------------------------------------------------------------------------
+
+class QuantizedTensor4(NamedTuple):
+    values: jax.Array   # int4 [K, N]
+    scale: jax.Array    # f32 [K // group, N]
+
+
+def quantize_int4(w: jax.Array, group_size: int = 256) -> QuantizedTensor4:
+    """Symmetric group-wise int4 quantization: scales per (K-group, N).
+    K not divisible by group_size falls back to one group (= per-channel
+    scales over the whole K)."""
+    w = w.astype(jnp.float32)
+    K, N = w.shape
+    G = group_size if K % group_size == 0 else K
+    wg = w.reshape(K // G, G, N)
+    amax = jnp.max(jnp.abs(wg), axis=1)                     # [K/G, N]
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    return QuantizedTensor4(q.reshape(K, N).astype(jnp.int4), scale)
+
+
+def dequantize_int4(qt: QuantizedTensor4, dtype=jnp.bfloat16) -> jax.Array:
+    K, N = qt.values.shape
+    n_g = qt.scale.shape[0]
+    v = qt.values.astype(jnp.float32).reshape(n_g, K // n_g, N)
+    return (v * qt.scale[:, None, :]).reshape(K, N).astype(dtype)
+
+
+def _matmul4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, n_g, G):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]                                  # [bm, bk] bf16
+    w = w_ref[0]                                  # [bk, bn] int4
+    s = s_ref[0]                                  # [n_g, bn] f32
+    for g in range(n_g):                          # static unroll
+        xg = x[:, g * G:(g + 1) * G]
+        wg = w[g * G:(g + 1) * G, :].astype(x.dtype)
+        part = jax.lax.dot(xg, wg, preferred_element_type=jnp.float32)
+        acc_ref[...] += part * s[g][None, :]
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
+                block_m: int = 256,
+                block_n: Optional[int] = None,
+                block_k: Optional[int] = None,
+                interpret: bool = False) -> jax.Array:
+    """x [.., K] @ int4 W [K, N] with group-wise scales → [.., N]."""
+    *lead, K = x.shape
+    M = 1
+    for d in lead:
+        M *= d
+    Kw, N = qt.values.shape
+    assert K == Kw, (K, Kw)
+    n_groups = qt.scale.shape[0]
+    G = K // n_groups
+    x2 = x.reshape(M, K)
+
+    M_p = _pad_to(max(M, 8), 8)
+    bm = min(block_m, M_p)
+    M_p = _pad_to(M_p, bm)
+    if block_k is None:
+        # bk must be a multiple of the quant group so each K-tile holds
+        # whole groups; cap the static unroll at 8 groups per tile
+        bk = 0
+        cap = min(8 * G, K)
+        b = cap - (cap % G)
+        while b >= G:
+            if K % b == 0 and b % G == 0:
+                bk = b
+                break
+            b -= G
+    else:
+        bk = block_k
+    if block_n is None:
+        target = max((2 * 1024 * 1024) // max(bk, 1), 128)
+        block_n = _fit_block(target, N) or 128
+    bn = block_n
+    aligned = (N % 128 == 0 and K % 128 == 0 and G % 128 == 0
+               and bk and bn and N % bn == 0 and K % bk == 0)
+    if not aligned or not (_on_tpu() or interpret):
+        out = jnp.dot(x2.astype(jnp.float32),
+                      dequantize_int4(qt, jnp.float32),
+                      preferred_element_type=jnp.float32)
+        return out.astype(x.dtype).reshape(*lead, N)
+
+    if M_p != M:
+        x2 = jnp.pad(x2, ((0, M_p - M), (0, 0)))
+    n_g = bk // G
+
+    out = pl.pallas_call(
+        functools.partial(_matmul4_kernel, n_k=K // bk, n_g=n_g, G=G),
+        grid=(M_p // bm, N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda mi, ni, ki: (0, mi, ki)),
+            pl.BlockSpec((1, bk, bn), lambda mi, ni, ki: (0, ki, ni)),
+            pl.BlockSpec((1, n_g, bn), lambda mi, ni, ki: (0, ki, ni)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda mi, ni, ki: (0, mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((1, M_p, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M_p * N * K,
+            transcendentals=0,
+            bytes_accessed=M_p * K * 2 + K * N // 2 + M_p * N * 2),
+        interpret=interpret,
+    )(x2[None], qt.values[None],
+      qt.scale.reshape(n_groups, N)[None])
+    return out[0, :M].reshape(*lead, N)
+
+
+class Int4Dense(nn.Module):
+    """No-bias Dense with int4 weight storage + group-wise scales.
+
+    Param structure: {"kernel_q": int4 [K, N], "scale": f32 [K/G, N]} —
+    produced from a trained kernel by :func:`quantize_dense_params`
+    with ``bits=4``.
+    """
+    features: int
+    group_size: int = 256
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        K = x.shape[-1]
+        G = self.group_size if K % self.group_size == 0 else K
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (K, self.features), jnp.int4)
+        scale = self.param("scale", nn.initializers.ones,
+                           (K // G, self.features), jnp.float32)
+        qt = QuantizedTensor4(kernel_q, scale)
+        if _on_tpu():
+            return int4_matmul(x.astype(self.dtype), qt)
+        return jnp.dot(x.astype(self.dtype),
+                       dequantize_int4(qt, self.dtype))
+
+
 class Int8Dense(nn.Module):
     """No-bias Dense with int8 weight storage + per-channel scales.
 
@@ -174,13 +326,22 @@ class Int8Dense(nn.Module):
                        dequantize_int8(qt, self.dtype))
 
 
-def quantize_dense_params(params, *, skip=("embed",)):
+def quantize_dense_params(params, *, skip=("embed",), bits: int = 8,
+                          group_size: int = 256):
     """Walk a param pytree and convert every no-bias Dense ``kernel``
-    leaf into the Int8Dense structure ({kernel_q, scale}). Handles both
-    plain [K, N] kernels and scan-stacked [L, K, N] kernels (the LLM's
-    ``scan_layers=True`` layout). ``skip`` substrings exclude paths
-    (embedding tables stay float)."""
+    leaf into the Int8Dense/Int4Dense structure ({kernel_q, scale}).
+    Handles both plain [K, N] kernels and scan-stacked [L, K, N] kernels
+    (the LLM's ``scan_layers=True`` layout). ``skip`` substrings exclude
+    paths (embedding tables stay float). ``bits=4`` uses group-wise
+    scales (``group_size`` along K)."""
     import flax
+
+    assert bits in (4, 8), bits
+    if bits == 8:
+        quant = quantize_int8
+    else:
+        def quant(w):
+            return quantize_int4(w, group_size=group_size)
 
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
@@ -189,9 +350,9 @@ def quantize_dense_params(params, *, skip=("embed",)):
         if path[-1] == "kernel" and leaf.ndim in (2, 3) \
                 and not any(s in joined for s in skip):
             if leaf.ndim == 3:
-                qt = jax.vmap(quantize_int8)(leaf)
+                qt = jax.vmap(quant)(leaf)
             else:
-                qt = quantize_int8(leaf)
+                qt = quant(leaf)
             out[path[:-1] + ("kernel_q",)] = qt.values
             out[path[:-1] + ("scale",)] = qt.scale
         else:

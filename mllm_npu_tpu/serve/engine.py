@@ -52,6 +52,7 @@ class InferenceEngine:
                  cache_dtype=jnp.bfloat16,
                  cast_params_bf16: bool = True,
                  quantize_int8: bool = False,
+                 quantize_int4: bool = False,
                  fuse_projections: bool = False,
                  fuse_shards: int = 1,
                  unroll_layers: bool = False):
@@ -81,6 +82,7 @@ class InferenceEngine:
             ladder=ladder, cache_dtype=cache_dtype,
             cast_params_bf16=cast_params_bf16,
             quantize_int8=quantize_int8,
+            quantize_int4=quantize_int4,
             fuse_projections=fuse_projections, fuse_shards=fuse_shards,
             unroll_layers=unroll_layers)
 

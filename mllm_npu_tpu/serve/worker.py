@@ -204,6 +204,7 @@ def load_engine_from_config(model_config_path: str,
                             prefill_chunk=None,
                             cast_bf16: bool = True,
                             quantize_int8: bool = False,
+                            quantize_int4: bool = False,
                             fuse_projections: bool = False,
                             unroll_layers: bool = False,
                             params_checkpoint: str = None):
@@ -246,6 +247,7 @@ def load_engine_from_config(model_config_path: str,
         num_img_in_tokens=nq, num_img_out_tokens=nq,
         max_new_tokens=max_new_tokens,
         cast_params_bf16=cast_bf16, quantize_int8=quantize_int8,
+        quantize_int4=quantize_int4,
         fuse_projections=fuse_projections,
         # tensor-parallel + fused: interleave the fused kernels by the
         # tensor-axis size so shard slices hold whole q/k/v head groups
@@ -307,6 +309,11 @@ def parse_worker_args(argv=None):
                         action=argparse.BooleanOptionalAction,
                         default=False,
                         help="int8 weight-only LLM serving")
+    parser.add_argument("--quantize-int4",
+                        action=argparse.BooleanOptionalAction,
+                        default=False,
+                        help="int4 (group-scale) weight-only LLM "
+                             "serving — half int8's weight traffic")
     parser.add_argument("--cast-bf16",
                         action=argparse.BooleanOptionalAction,
                         default=True, dest="cast_bf16",
@@ -357,6 +364,7 @@ def main():
         prefill_chunk=args.prefill_chunk,
         cast_bf16=args.cast_bf16,
         quantize_int8=args.quantize_int8,
+        quantize_int4=args.quantize_int4,
         fuse_projections=args.fuse_projections,
         unroll_layers=args.unroll_layers,
         params_checkpoint=args.params_checkpoint)

@@ -775,13 +775,17 @@ def split_adapter_state(sd: Dict[str, Any]) -> tuple:
     return res, unet
 
 
-def quantize_llama_params(lm_params: dict) -> dict:
-    """Convert a trained float Llama param tree to the int8 weight-only
-    serving layout (build the model with LlamaConfig(quantization='int8');
-    ops/quant.py). Embeddings and norms stay float."""
+def quantize_llama_params(lm_params: dict, bits: int = 8,
+                          group_size: int = 256) -> dict:
+    """Convert a trained float Llama param tree to the int8/int4
+    weight-only serving layout (build the model with
+    LlamaConfig(quantization='int8'|'int4'); ops/quant.py). int4 uses
+    group-wise scales — the next ~2x of weight-streaming decode
+    bandwidth after int8. Embeddings and norms stay float."""
     from mllm_npu_tpu.ops.quant import quantize_dense_params
 
-    return quantize_dense_params(lm_params, skip=("embed",))
+    return quantize_dense_params(lm_params, skip=("embed",), bits=bits,
+                                 group_size=group_size)
 
 
 def merge_lora_params(lm_params: dict, alpha: float) -> dict:

@@ -154,3 +154,91 @@ def test_generator_quantize_int8_generates():
     ids = np.asarray(out["generate_ids"])
     assert ids.shape[1] == 4
     assert np.isfinite(ids).all()
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-wise scales)
+# ---------------------------------------------------------------------------
+
+def test_int4_quantize_roundtrip_error():
+    from mllm_npu_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (512, 32)) * 0.1
+    qt = quantize_int4(w, group_size=128)
+    assert qt.values.dtype == jnp.int4
+    assert qt.scale.shape == (4, 32)
+    wd = dequantize_int4(qt, jnp.float32)
+    err = np.abs(np.asarray(wd - w))
+    # symmetric 4-bit: error bounded by the group's scale/2
+    bound = np.repeat(np.asarray(qt.scale), 128, axis=0) * 0.5 + 1e-7
+    assert (err <= bound).all()
+    # K not divisible by the group → one whole-K group (per-channel)
+    qt2 = quantize_int4(w[:100], group_size=128)
+    assert qt2.scale.shape == (1, 32)
+
+
+def test_int4_matmul_matches_dequant():
+    from mllm_npu_tpu.ops.quant import (dequantize_int4, int4_matmul,
+                                        quantize_int4)
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (4, 256), jnp.bfloat16)
+    w = jax.random.normal(kw, (256, 128)) * 0.05
+    qt = quantize_int4(w, group_size=128)
+    ref = x.astype(jnp.float32) @ np.asarray(dequantize_int4(qt, jnp.float32))
+    out_p = int4_matmul(x, qt, block_m=8, block_n=128, block_k=256,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-1)
+    # awkward-shape jnp fallback
+    w2 = jax.random.normal(kw, (256, 100)) * 0.05
+    out_f = int4_matmul(x, quantize_int4(w2))
+    assert out_f.shape == (4, 100)
+
+
+def test_int4_dense_module():
+    from mllm_npu_tpu.ops.quant import Int4Dense
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 256), jnp.bfloat16)
+    m = Int4Dense(32)
+    p = m.init(jax.random.PRNGKey(1), x)
+    assert p["params"]["kernel_q"].dtype == jnp.int4
+    assert p["params"]["scale"].shape == (1, 32)
+    out = m.apply(p, x)
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+@pytest.mark.slow
+def test_int4_llama_logits_parity():
+    from mllm_npu_tpu.models.language_models.llama import (LlamaConfig,
+                                                           LlamaForCausalLM)
+    from mllm_npu_tpu.utils.weights import quantize_llama_params
+
+    cfg = LlamaConfig.tiny()
+    lm = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(0).randint(3, 1000, (2, 16)),
+                      jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), ids)
+    logits, _, _ = lm.apply(params, ids)
+
+    qcfg = LlamaConfig.tiny(quantization="int4", quant_group_size=32)
+    qlm = LlamaForCausalLM(qcfg, dtype=jnp.float32)
+    qparams = {"params": quantize_llama_params(params["params"], bits=4,
+                                               group_size=32)}
+    ref_struct = jax.tree_util.tree_structure(
+        qlm.init(jax.random.PRNGKey(0), ids))
+    assert jax.tree_util.tree_structure(qparams) == ref_struct
+    qlogits, _, _ = qlm.apply(qparams, ids)
+
+    a = np.asarray(logits, np.float32).reshape(-1)
+    b = np.asarray(qlogits, np.float32).reshape(-1)
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    # NOTE: random-init tiny nets are the WORST case for 4-bit RTN —
+    # ~10% per-weight error with zero trained redundancy to absorb it
+    # (this seed measures cos ≈ 0.96). Real trained checkpoints behave
+    # like published int4 group-RTN results; this test asserts the
+    # mechanism (structure + strong correlation), not production quality.
+    assert cos > 0.9, cos
+    at = np.asarray(logits).argmax(-1)
+    bt = np.asarray(qlogits).argmax(-1)
+    assert (at == bt).mean() > 0.5, (at == bt).mean()
