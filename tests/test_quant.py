@@ -242,3 +242,60 @@ def test_int4_llama_logits_parity():
     at = np.asarray(logits).argmax(-1)
     bt = np.asarray(qlogits).argmax(-1)
     assert (at == bt).mean() > 0.5, (at == bt).mean()
+
+
+@pytest.mark.slow
+def test_generator_quantize_int4_generates():
+    """End-to-end: MLLMGenerator(quantize_int4=True) rebuilds the LLM in
+    int4 layout and still decodes."""
+    import numpy as np
+    from mllm_npu_tpu.models.language_models.llama import (LlamaConfig,
+                                                           LlamaForCausalLM)
+    from mllm_npu_tpu.models.generation.generate import MLLMGenerator
+    from mllm_npu_tpu.models.generation.sampler import SamplingConfig
+    from mllm_npu_tpu.models.mllm import GeneralizedMultimodalModel
+    from mllm_npu_tpu.models.multimodal_encoder.siglip_vit import (
+        SigLIPConfig, SigLIPVisionEncoder)
+    from mllm_npu_tpu.models.multimodal_projector.pooling_projection import (
+        SimplePooling)
+
+    cfg = LlamaConfig.tiny()
+    lm = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    vcfg = SigLIPConfig.tiny()
+    vis = SigLIPVisionEncoder(vcfg, dtype=jnp.float32)
+    proj = SimplePooling(grid_size=2, input_dim=vcfg.hidden_size,
+                         output_dim=cfg.hidden_size)
+    model = GeneralizedMultimodalModel(language_model=lm,
+                                       vision_encoder=vis, projector=proj)
+    rs = np.random.RandomState(0)
+    B, S, N = 1, 8, 1
+    img_size = vcfg.image_size
+    batch = dict(
+        input_ids=jnp.asarray(rs.randint(3, 1000, (B, S)), jnp.int32),
+        images=jnp.asarray(rs.randn(N, img_size, img_size, 3), jnp.float32),
+        attention_mask=jnp.ones((B, S), jnp.int32),
+        labels=jnp.asarray(rs.randint(3, 1000, (B, S)), jnp.int32),
+        embeds_cmp_mask=jnp.asarray([True]),
+        embeds_gen_mask=jnp.asarray([False]),
+        ids_cmp_mask=jnp.zeros((B, S), bool).at[0, 2:6].set(True),
+        ids_gen_mask=jnp.zeros((B, S), bool),
+        patch_positions=jnp.asarray(rs.rand(N, 2), jnp.float32),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    gen = MLLMGenerator(model, cfg, params,
+                        sampling=SamplingConfig(max_new_tokens=4,
+                                                do_sample=False,
+                                                eos_token_id=-1,
+                                                pad_token_id=0),
+                        quantize_int4=True)
+    lm_leaves = jax.tree_util.tree_leaves(
+        gen.params["params"]["language_model"])
+    assert any(l.dtype == jnp.int4 for l in lm_leaves)
+    out = gen.generate(batch["input_ids"], images=batch["images"],
+                       embeds_cmp_mask=batch["embeds_cmp_mask"],
+                       ids_cmp_mask=batch["ids_cmp_mask"],
+                       patch_positions=batch["patch_positions"])
+    ids = np.asarray(out["generate_ids"])
+    assert ids.shape[1] == 4
+    assert np.isfinite(ids).all()
