@@ -28,6 +28,31 @@ N_SHORT, N_LONG = 20, 120
 def main():
     from mllm_npu_tpu.ops.flash_attention import flash_attention
 
+    # Backend-init probe with a timeout: a wedged remote-TPU tunnel
+    # makes jax.devices() HANG (observed live), and a hung bench stalls
+    # the whole driver. Fail fast and loud instead.
+    import sys
+    import threading
+    state = {}
+
+    def _probe():
+        try:
+            state["backend"] = jax.default_backend()
+        except Exception as e:  # noqa: BLE001
+            state["error"] = str(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=180.0)
+    if "backend" not in state:
+        print(json.dumps({
+            "metric": "flash_attention_fwd_avg_time_B32H8S256D256",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": state.get(
+                "error", "JAX backend init hung >180s — TPU tunnel down"),
+        }))
+        sys.exit(1)
+
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.bfloat16
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
