@@ -448,7 +448,10 @@ class LlamaModel(nn.Module):
                         h, positions=positions, layer_cache=None,
                         cache_pos=cache_pos, segment_ids=segment_ids,
                         attn_mask=attn_mask)
-                    return out, None
+                    # Ulysses SP: keep hidden states sequence-sharded
+                    # between layers (no-op off an SP mesh); attention
+                    # itself runs head-sharded via the flash shard_map
+                    return ops.constrain_seq(out), None
                 xs = None
 
             scan = nn.scan(
@@ -501,6 +504,10 @@ class LlamaModel(nn.Module):
 
         cache_k = cache["k"] if cache is not None else None
         cache_v = cache["v"] if cache is not None else None
+        if cache is None:
+            # Ulysses SP (training forward): sequence-shard the stream
+            # entering the stack (no-op off an SP mesh)
+            h = ops.constrain_seq(h)
         h, new_kv = self._layers(h, positions, cache_k, cache_v, cache_pos,
                                  segment_ids, attn_mask, prefill=prefill,
                                  block_kv=block_kv, block_mask=block_mask)

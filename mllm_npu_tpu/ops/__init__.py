@@ -158,9 +158,14 @@ _FLASH_MESH_STACK: list = []
 
 @contextlib.contextmanager
 def flash_mesh(mesh, batch_axes=("dcn_data", "data", "fsdp"),
-               head_axis="tensor"):
+               head_axis=("tensor", "seq")):
     """Route flash-attention calls through shard_map over `mesh` while
-    tracing (batch on `batch_axes`, heads on `head_axis`)."""
+    tracing (batch on `batch_axes`, heads on `head_axis` — attention
+    heads shard over BOTH the tensor axis and the Ulysses `seq` axis:
+    inside attention each device holds the full sequence for a head
+    subset, the Ulysses layout)."""
+    head_axis = (head_axis,) if isinstance(head_axis, str) else \
+        tuple(head_axis)
     _FLASH_MESH_STACK.append((mesh, tuple(batch_axes), head_axis))
     try:
         yield
@@ -168,10 +173,41 @@ def flash_mesh(mesh, batch_axes=("dcn_data", "data", "fsdp"),
         _FLASH_MESH_STACK.pop()
 
 
+def constrain_seq(x, *, seq_dim: int = 1):
+    """Ulysses sequence parallelism: constrain an activation
+    [batch, S, hidden] to be sequence-sharded on the mesh's `seq` axis
+    between layers (GSPMD inserts the head<->sequence all-to-alls around
+    each attention). No-op without an active flash_mesh or with seq=1.
+    """
+    if not _FLASH_MESH_STACK:
+        return x
+    mesh, batch_axes, _ = _FLASH_MESH_STACK[-1]
+    if mesh is None:
+        return x
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if sizes.get("seq", 1) <= 1:
+        return x
+    if x.shape[seq_dim] % sizes["seq"] != 0:
+        return x
+    from jax.sharding import NamedSharding
+    b_axes = tuple(a for a in batch_axes if sizes.get(a, 1) > 1) or None
+    if b_axes:
+        bsz = 1
+        for a in b_axes:
+            bsz *= sizes[a]
+        if x.shape[0] % bsz != 0:
+            b_axes = None
+    spec = [None] * x.ndim
+    spec[0] = b_axes
+    spec[seq_dim] = "seq"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 def _shard_mapped_flash(call, q, k, v, segment_ids):
     if not _FLASH_MESH_STACK:
         return None
-    mesh, batch_axes, head_axis = _FLASH_MESH_STACK[-1]
+    mesh, batch_axes, head_axes = _FLASH_MESH_STACK[-1]
     if mesh is None:
         return None
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -179,7 +215,10 @@ def _shard_mapped_flash(call, q, k, v, segment_ids):
     bsz = 1
     for a in b_axes:
         bsz *= sizes[a]
-    hsz = sizes.get(head_axis, 1)
+    h_axes = tuple(a for a in head_axes if sizes.get(a, 1) > 1)
+    hsz = 1
+    for a in h_axes:
+        hsz *= sizes[a]
     B, Sq, Hq, D = q.shape
     Hkv = k.shape[2]
     use_b = bsz > 1 and B % bsz == 0
@@ -193,7 +232,7 @@ def _shard_mapped_flash(call, q, k, v, segment_ids):
         b_axes = ()
         use_h = False
     bspec = b_axes if (use_b and b_axes) else None
-    hspec = head_axis if use_h else None
+    hspec = h_axes if use_h else None
     qkv_spec = P(bspec, None, hspec, None)
     seg_spec = SegmentIds(q=P(bspec, None), kv=P(bspec, None)) \
         if segment_ids is not None else None

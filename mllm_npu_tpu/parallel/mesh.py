@@ -30,18 +30,23 @@ class MeshConfig:
     data: int = -1     # -1: infer from device count
     fsdp: int = 1
     tensor: int = 1
+    # Ulysses-style sequence parallelism: activations are sequence-
+    # sharded between layers and head-sharded inside attention (GSPMD
+    # inserts the all-to-alls). Long-context training headroom the
+    # reference has no equivalent of. 1 = off.
+    seq: int = 1
     # multi-slice: replicas over the DCN (data-center network) between
     # TPU slices. Gradient all-reduce is the only cross-slice traffic —
-    # the scaling-book recipe: keep model axes (fsdp/tensor) on ICI
+    # the scaling-book recipe: keep model axes (fsdp/tensor/seq) on ICI
     # inside a slice, put pure data parallelism on DCN. 1 = single slice.
     dcn_data: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int, int]:
         assert n_devices % max(self.dcn_data, 1) == 0, (
             f"{n_devices} devices not divisible by dcn_data="
             f"{self.dcn_data}")
         per_slice = n_devices // max(self.dcn_data, 1)
-        dims = [self.data, self.fsdp, self.tensor]
+        dims = [self.data, self.fsdp, self.tensor, self.seq]
         known = 1
         for d in dims:
             if d != -1:
@@ -51,13 +56,13 @@ class MeshConfig:
                 f"{per_slice} devices not divisible by fixed axes {known}")
             infer = per_slice // known
             dims = [infer if d == -1 else d for d in dims]
-        total = dims[0] * dims[1] * dims[2]
+        total = dims[0] * dims[1] * dims[2] * dims[3]
         assert total == per_slice, (
             f"mesh {dims} != per-slice device count {per_slice}")
         return (max(self.dcn_data, 1), *dims)
 
 
-AXIS_NAMES = ("dcn_data", "data", "fsdp", "tensor")
+AXIS_NAMES = ("dcn_data", "data", "fsdp", "tensor", "seq")
 
 
 def build_mesh(config: MeshConfig = MeshConfig(),
@@ -73,9 +78,9 @@ def build_mesh(config: MeshConfig = MeshConfig(),
         try:
             from jax.experimental import mesh_utils
             arr = mesh_utils.create_hybrid_device_mesh(
-                dims[1:], (dims[0], 1, 1), devices=devices)
-            # hybrid mesh shape is (dcn*data, fsdp, tensor) per docs —
-            # reshape to the 4-axis layout
+                dims[1:], (dims[0], 1, 1, 1), devices=devices)
+            # hybrid mesh leads with dcn*data — reshape to the 5-axis
+            # (dcn_data, data, fsdp, tensor, seq) layout
             arr = np.asarray(arr).reshape(dims)
         except Exception:  # noqa: BLE001 — no slice metadata (CPU/1-slice)
             arr = np.asarray(devices).reshape(dims)

@@ -69,6 +69,7 @@ class TrainArgs:
     mesh_fsdp: int = 1
     mesh_tensor: int = 1
     mesh_dcn_data: int = 1   # multi-slice: data-parallel replicas on DCN
+    mesh_seq: int = 1        # Ulysses sequence parallelism
     # observability
     project_name: str = "mllm_tpu"
     run_name: str = ""
@@ -127,7 +128,8 @@ def main(argv=None):
     maybe_init_distributed()
     mesh = build_mesh(MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                                  tensor=args.mesh_tensor,
-                                 dcn_data=args.mesh_dcn_data))
+                                 dcn_data=args.mesh_dcn_data,
+                                 seq=args.mesh_seq))
     log.info("mesh: %s", dict(mesh.shape))
 
     # ---- model ------------------------------------------------------------

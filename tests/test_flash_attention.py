@@ -231,3 +231,30 @@ def test_train_step_flash_on_virtual_mesh():
     assert float(loss) < l0   # it learns
     # parity: the flash mesh step's first loss == eager loss
     np.testing.assert_allclose(l0, le, rtol=1e-4)
+
+
+def test_flash_shard_map_seq_axis_heads():
+    """Ulysses SP: with a seq axis in the mesh, flash heads shard over
+    (tensor, seq) combined — parity with the unsharded call."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mllm_npu_tpu import ops
+
+    devs = np.asarray(jax.devices()).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "tensor", "seq"))
+    B, S, Hq, Hkv, D = 2, 256, 4, 4, 128
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (B, S, Hq, D), jnp.float32)
+    k = jax.random.normal(kk, (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv, (B, S, Hkv, D), jnp.float32)
+
+    ref = ops.multi_head_attention(q, k, v, causal=True, impl="flash",
+                                   interpret=True)
+    with ops.flash_mesh(mesh, batch_axes=("data",)):
+        @jax.jit
+        def f(q, k, v):
+            return ops.multi_head_attention(q, k, v, causal=True,
+                                            impl="flash", interpret=True)
+        out = f(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -54,6 +54,10 @@ def _setup(mesh_cfg: MeshConfig, grad_accum=1):
     # (scaling-book recipe — model axes on ICI, replicas on DCN)
     pytest.param(MeshConfig(dcn_data=2, data=2, fsdp=2, tensor=1),
                  marks=pytest.mark.slow),
+    # Ulysses sequence parallelism: activations sequence-sharded
+    # between layers, heads sharded inside attention
+    pytest.param(MeshConfig(data=2, fsdp=2, tensor=1, seq=2),
+                 marks=pytest.mark.slow),
 ])
 def test_train_step_runs_all_meshes(mesh_cfg):
     jitted, state, batch = _setup(mesh_cfg)
@@ -65,10 +69,22 @@ def test_train_step_runs_all_meshes(mesh_cfg):
 
 def test_mesh_config_resolve_dcn():
     cfg = MeshConfig(dcn_data=2, data=-1, fsdp=2, tensor=1)
-    assert cfg.resolve(8) == (2, 2, 2, 1)
-    assert MeshConfig().resolve(8) == (1, 8, 1, 1)
+    assert cfg.resolve(8) == (2, 2, 2, 1, 1)
+    assert MeshConfig().resolve(8) == (1, 8, 1, 1, 1)
+    assert MeshConfig(data=2, seq=2, fsdp=2).resolve(8) == (1, 2, 2, 1, 2)
     with pytest.raises(AssertionError):
         MeshConfig(dcn_data=3).resolve(8)
+
+
+@pytest.mark.slow
+def test_loss_identical_sp_mesh():
+    """Ulysses SP must not change numerics: same loss as pure DP."""
+    losses = []
+    for cfg in [MeshConfig(data=8), MeshConfig(data=2, fsdp=2, seq=2)]:
+        jitted, state, batch = _setup(cfg)
+        _, loss, _ = jitted(state, batch)
+        losses.append(float(loss))
+    assert abs(losses[0] - losses[1]) < 1e-4, losses
 
 
 @pytest.mark.slow
