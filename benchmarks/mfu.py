@@ -55,6 +55,8 @@ def main():
     p.add_argument("--images", type=int, default=8)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--seq", type=int, default=1,
+                   help="Ulysses sequence-parallel axis")
     p.add_argument("--peak", choices=list(PEAK_BF16), default="v5e")
     p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
     p.add_argument("--remat_policy", default="nothing",
@@ -188,7 +190,7 @@ def main():
     }
 
     mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp,
-                                 tensor=args.tensor))
+                                 tensor=args.tensor, seq=args.seq))
     params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
                                                **batch))
     # real init (sharded via jit out-shardings would be ideal; simple path)

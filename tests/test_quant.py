@@ -299,3 +299,47 @@ def test_generator_quantize_int4_generates():
     ids = np.asarray(out["generate_ids"])
     assert ids.shape[1] == 4
     assert np.isfinite(ids).all()
+
+
+@pytest.mark.slow
+def test_generator_fused_int4_generates():
+    """fuse_projections + quantize_int4 compose: fused qkv/gate_up
+    kernels quantize group-wise like any other kernel leaf."""
+    import numpy as np
+    from mllm_npu_tpu.models.language_models.llama import (LlamaConfig,
+                                                           LlamaForCausalLM)
+    from mllm_npu_tpu.models.generation.generate import MLLMGenerator
+    from mllm_npu_tpu.models.generation.sampler import SamplingConfig
+    from mllm_npu_tpu.models.mllm import GeneralizedMultimodalModel
+    from mllm_npu_tpu.models.multimodal_encoder.siglip_vit import (
+        SigLIPConfig, SigLIPVisionEncoder)
+    from mllm_npu_tpu.models.multimodal_projector.pooling_projection import (
+        SimplePooling)
+
+    cfg = LlamaConfig.tiny()
+    lm = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    vcfg = SigLIPConfig.tiny()
+    vis = SigLIPVisionEncoder(vcfg, dtype=jnp.float32)
+    proj = SimplePooling(grid_size=2, input_dim=vcfg.hidden_size,
+                         output_dim=cfg.hidden_size)
+    model = GeneralizedMultimodalModel(language_model=lm,
+                                       vision_encoder=vis, projector=proj)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(3, 1000, (1, 8)), jnp.int32)
+    batch = dict(input_ids=ids, images=None,
+                 attention_mask=jnp.ones((1, 8), jnp.int32), labels=ids,
+                 embeds_cmp_mask=None, embeds_gen_mask=None,
+                 ids_cmp_mask=jnp.zeros((1, 8), bool),
+                 ids_gen_mask=jnp.zeros((1, 8), bool),
+                 patch_positions=None)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    gen = MLLMGenerator(model, cfg, params,
+                        sampling=SamplingConfig(max_new_tokens=4,
+                                                do_sample=False,
+                                                eos_token_id=-1,
+                                                pad_token_id=0),
+                        fuse_projections=True, quantize_int4=True)
+    assert gen.lm_config.fused_projections
+    assert gen.lm_config.quantization == "int4"
+    out = gen.generate(ids)
+    assert np.asarray(out["generate_ids"]).shape[1] == 4
