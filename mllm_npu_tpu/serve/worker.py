@@ -216,7 +216,7 @@ def load_engine_from_config(model_config_path: str,
     sharded read instead of a per-start torch load + conversion."""
     import jax
 
-    from mllm_npu_tpu.configs import instantiate
+    from mllm_npu_tpu.configs import instantiate, load_config
     from mllm_npu_tpu.models.factory import init_assembly_params
     from mllm_npu_tpu.serve.engine import InferenceEngine
     from mllm_npu_tpu.utils.convert import (build_assembly_from_yaml,
@@ -227,8 +227,18 @@ def load_engine_from_config(model_config_path: str,
     processor = instantiate(cfg["mllm"]["processor"])
     nq = bundle.module.projector.num_queries
 
+    mesh = None
+    if batched and tensor_parallel > 1:
+        from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+        mesh = build_mesh(
+            MeshConfig(data=1, fsdp=1, tensor=tensor_parallel),
+            devices=jax.devices()[:tensor_parallel])
+
     if params_checkpoint:
-        params = restore_params(bundle, example, params_checkpoint)
+        # with a TP mesh, leaves restore directly into their sharded
+        # layout (no replicated staging copy of 13B-class params)
+        params = restore_params(bundle, example, params_checkpoint,
+                                mesh=mesh)
     else:
         params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
     adapter = None
@@ -255,12 +265,6 @@ def load_engine_from_config(model_config_path: str,
         unroll_layers=unroll_layers)
     if batched:
         from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
-        mesh = None
-        if tensor_parallel > 1:
-            from mllm_npu_tpu.parallel import MeshConfig, build_mesh
-            mesh = build_mesh(
-                MeshConfig(data=1, fsdp=1, tensor=tensor_parallel),
-                devices=jax.devices()[:tensor_parallel])
         return BatchedInferenceEngine(
             num_slots=num_slots, max_len=max_len,
             max_prompt=max_len // 2, mesh=mesh,

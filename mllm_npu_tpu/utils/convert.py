@@ -74,16 +74,30 @@ def convert_model_checkpoint(model_config_path: str, out_dir: str,
 
 
 def restore_params(bundle, example: dict, params_checkpoint: str,
-                   step: Optional[int] = None):
+                   step: Optional[int] = None, mesh=None):
     """Restore converted params for ``bundle`` from an orbax dir written
     by :func:`convert_model_checkpoint` (template from ``eval_shape`` —
-    no torch load, no conversion, no random init compute)."""
+    no torch load, no conversion, no random init compute).
+
+    With ``mesh``, leaves restore DIRECTLY into their sharded layout
+    (orbax reads each shard straight to its device) — no replicated
+    staging copy, which matters for 13B-class params under tensor
+    parallelism."""
     import jax
 
     from mllm_npu_tpu.train.checkpoint import CheckpointManager
 
     template = jax.eval_shape(
         lambda: bundle.module.init(jax.random.PRNGKey(0), **example))
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from mllm_npu_tpu.parallel.sharding import infer_param_specs
+        specs = infer_param_specs(template, mesh)
+        template = jax.tree_util.tree_map(
+            lambda t, s: jax.ShapeDtypeStruct(
+                t.shape, t.dtype, sharding=NamedSharding(mesh, s)),
+            template, specs)
     mgr = CheckpointManager(params_checkpoint, async_save=False)
     params, _, got = mgr.restore(template, step=step)
     mgr.close()
