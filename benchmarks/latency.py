@@ -38,6 +38,7 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="fused qkv/gate_up projections")
     args = p.parse_args()
+    assert not (args.int8 and args.int4), "pick one of --int8 / --int4"
 
     import jax
 
@@ -129,9 +130,10 @@ def main():
             model, lm_cfg, params, quantize_llama_params,
             quantization="int8")
     if args.int4 and args.preset != "8b":
+        gs = lm_cfg.quant_group_size
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params,
-            lambda p_: quantize_llama_params(p_, bits=4),
+            lambda p_: quantize_llama_params(p_, bits=4, group_size=gs),
             quantization="int4")
 
     max_len = S + args.decode_tokens

@@ -49,6 +49,7 @@ def main():
                         "(the chunked-prefill value proposition — "
                         "compare --prefill_chunk on/off)")
     args = p.parse_args()
+    assert not (args.int8 and args.int4), "pick one of --int8 / --int4"
 
     import jax
 
@@ -123,9 +124,10 @@ def main():
             model, lm_cfg, params, quantize_llama_params,
             quantization="int8")
     if args.int4 and args.preset != "8b":
+        gs = lm_cfg.quant_group_size
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params,
-            lambda p_: quantize_llama_params(p_, bits=4),
+            lambda p_: quantize_llama_params(p_, bits=4, group_size=gs),
             quantization="int4")
     if args.unroll and args.preset != "8b":
         model, lm_cfg, params = rebuild_llm(

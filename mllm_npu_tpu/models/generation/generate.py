@@ -105,9 +105,11 @@ class MLLMGenerator:
                 "pick one of int8 / int4"
             from mllm_npu_tpu.utils.weights import quantize_llama_params
             bits = 4 if quantize_int4 else 8
+            gs = lm_config.quant_group_size
             model, lm_config, params = rebuild_llm(
                 model, lm_config, params,
-                lambda p: quantize_llama_params(p, bits=bits),
+                lambda p: quantize_llama_params(p, bits=bits,
+                                                group_size=gs),
                 quantization=f"int{bits}")
         if unroll_layers:
             # per-layer params instead of nn.scan's stacked layout:

@@ -476,6 +476,9 @@ class LlamaModel(nn.Module):
                         cache_pos=cache_pos, segment_ids=segment_ids,
                         attn_mask=attn_mask, prefill=prefill,
                         block_kv=bkv, block_mask=block_mask)
+                if not use_cache:
+                    # Ulysses SP between layers (mirrors the scan body)
+                    h = ops.constrain_seq(h)
                 if new_kv is not None:
                     new_ks.append(new_kv[0])
                     new_vs.append(new_kv[1])

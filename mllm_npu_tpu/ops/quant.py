@@ -241,7 +241,11 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
         block_n = _fit_block(target, N) or 128
     bn = block_n
     aligned = (N % 128 == 0 and K % 128 == 0 and G % 128 == 0
-               and bk and bn and N % bn == 0 and K % bk == 0)
+               and bk and bn and N % bn == 0 and K % bk == 0
+               # explicit block_k must hold whole quant groups — a bk
+               # that doesn't tile by G would run zero (or partial)
+               # group iterations and silently corrupt the output
+               and bk % G == 0 and bk >= G)
     if not aligned or not (_on_tpu() or interpret):
         out = jnp.dot(x2.astype(jnp.float32),
                       dequantize_int4(qt, jnp.float32),

@@ -73,16 +73,20 @@ def build_mesh(config: MeshConfig = MeshConfig(),
         # multi-slice: lay devices out so the dcn_data axis crosses
         # slice boundaries and the ICI axes stay inside a slice.
         # create_hybrid_device_mesh reads device slice_index attributes;
-        # on homogeneous/virtual platforms (no slice_index) a plain
-        # reshape gives the same logical mesh.
-        try:
+        # on virtual platforms WITHOUT slice metadata (CPU meshes in
+        # tests) a plain reshape gives the same logical mesh. With real
+        # slice metadata a layout error must RAISE — silently falling
+        # back would put fsdp/tensor collectives on the DCN, the exact
+        # failure dcn_data exists to prevent.
+        if any(getattr(d, "slice_index", None) is not None
+               for d in devices):
             from jax.experimental import mesh_utils
             arr = mesh_utils.create_hybrid_device_mesh(
                 dims[1:], (dims[0], 1, 1, 1), devices=devices)
             # hybrid mesh leads with dcn*data — reshape to the 5-axis
             # (dcn_data, data, fsdp, tensor, seq) layout
             arr = np.asarray(arr).reshape(dims)
-        except Exception:  # noqa: BLE001 — no slice metadata (CPU/1-slice)
+        else:
             arr = np.asarray(devices).reshape(dims)
     else:
         arr = np.asarray(devices).reshape(dims)

@@ -22,11 +22,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # mismatch and padded with None.
 LLAMA_RULES: list[tuple[str, P]] = [
     (r"embed_tokens/embedding$",                      P("tensor", "fsdp")),
-    (r"(q_proj|k_proj|v_proj|qkv_proj)(/base)?/kernel$", P("fsdp", "tensor")),
-    (r"o_proj(/base)?/kernel$",                       P("tensor", "fsdp")),
-    (r"(gate_proj|up_proj|gate_up_proj)(/base)?/kernel$", P("fsdp", "tensor")),
-    (r"down_proj(/base)?/kernel$",                    P("tensor", "fsdp")),
-    (r"lm_head/kernel$",                              P("fsdp", "tensor")),
+    # kernel(_q)? covers the int8/int4 serving layout ({kernel_q, scale})
+    # so --tensor-parallel keeps sharding quantized weights
+    (r"(q_proj|k_proj|v_proj|qkv_proj)(/base)?/kernel(_q)?$",
+     P("fsdp", "tensor")),
+    (r"o_proj(/base)?/kernel(_q)?$",                  P("tensor", "fsdp")),
+    (r"(gate_proj|up_proj|gate_up_proj)(/base)?/kernel(_q)?$",
+     P("fsdp", "tensor")),
+    (r"down_proj(/base)?/kernel(_q)?$",               P("tensor", "fsdp")),
+    (r"lm_head/kernel(_q)?$",                         P("fsdp", "tensor")),
+    # quant scales live on the kernel's output (N) axis: int8 [N] and
+    # int4 [K/G, N] both resolve via left-padding of a 1-entry spec
+    (r"(q_proj|k_proj|v_proj|qkv_proj|gate_proj|up_proj|gate_up_proj"
+     r"|lm_head)(/base)?/scale$",                     P("tensor")),
+    (r"(o_proj|down_proj)(/base)?/scale$",            P("fsdp")),
     (r"lora_a$",                                      P("fsdp", None)),
     (r"lora_b$",                                      P(None, "fsdp")),
     (r"(input_layernorm|post_attention_layernorm|norm)/weight$", P()),

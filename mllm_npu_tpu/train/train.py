@@ -160,7 +160,11 @@ def main(argv=None):
     # ---- params / state ---------------------------------------------------
     if args.params_checkpoint:
         from mllm_npu_tpu.utils.convert import restore_params
-        params = restore_params(bundle, example, args.params_checkpoint)
+        # mesh → leaves restore directly in their sharded layout (no
+        # replicated staging copy; shard_train_state is then a no-op
+        # placement for params)
+        params = restore_params(bundle, example, args.params_checkpoint,
+                                mesh=mesh)
     else:
         params = init_assembly_params(bundle, example,
                                       jax.random.PRNGKey(42))

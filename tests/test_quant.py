@@ -343,3 +343,28 @@ def test_generator_fused_int4_generates():
     assert gen.lm_config.quantization == "int4"
     out = gen.generate(ids)
     assert np.asarray(out["generate_ids"]).shape[1] == 4
+
+
+def test_quantized_kernels_get_tp_specs():
+    """TP sharding rules must cover the quantized layout: kernel_q
+    shards like kernel, scales shard on the kernel's output axis."""
+    import numpy as np
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.parallel.sharding import infer_param_specs
+
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    params = {
+        "q_proj": {"kernel_q": jnp.zeros((256, 512), jnp.int8),
+                   "scale": jnp.zeros((512,), jnp.float32)},
+        "o_proj": {"kernel_q": jnp.zeros((512, 256), jnp.int4),
+                   "scale": jnp.zeros((2, 256), jnp.float32)},
+        "down_proj": {"kernel_q": jnp.zeros((512, 256), jnp.int4),
+                      "scale": jnp.zeros((2, 256), jnp.float32)},
+    }
+    specs = infer_param_specs(params, mesh)
+    assert "tensor" in str(specs["q_proj"]["kernel_q"])
+    assert str(specs["q_proj"]["scale"]).count("tensor") == 1
+    assert "tensor" in str(specs["o_proj"]["kernel_q"])
+    # row-parallel scales live on the fsdp-sharded output axis
+    assert "fsdp" in str(specs["o_proj"]["scale"])
+    assert "fsdp" in str(specs["down_proj"]["scale"])
