@@ -31,6 +31,8 @@ def main():
 
     import jax
 
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()
     from mllm_npu_tpu.configs import instantiate, load_config
     from mllm_npu_tpu.models.factory import init_assembly_params
     from mllm_npu_tpu.serve.engine import InferenceEngine

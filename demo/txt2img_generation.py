@@ -16,6 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def build_adapter(tiny: bool, lm_hidden: int):
     import jax
+
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()
     import jax.numpy as jnp
 
     from mllm_npu_tpu.models.generation.adapter_modules import SDXLAdapter
@@ -73,6 +76,9 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()
     import jax.numpy as jnp
     import numpy as np
 
