@@ -14,6 +14,7 @@ def _debug(monkeypatch):
     monkeypatch.setenv("DEBUG_FLAG", "True")
 
 
+@pytest.mark.slow
 def test_convert_restore_roundtrip(tmp_path):
     from mllm_npu_tpu.models.factory import init_assembly_params
     from mllm_npu_tpu.utils.convert import (build_assembly_from_yaml,

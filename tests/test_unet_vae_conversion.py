@@ -231,6 +231,7 @@ def _tiny_unet_and_params():
     return cfg, unet, params
 
 
+@pytest.mark.slow
 def test_partial_unet_merge_tuned_subset():
     """A SEED-X detokenizer adapter checkpoint's tuned subset — attn2
     to_k/to_v only (reference adapter_modules.py:301-312) — must merge
