@@ -149,13 +149,20 @@ def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
             return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
                              dropout_rate=cfg.lora_dropout,
                              dtype=dtype, param_dtype=param_dtype, name=name)
-        if cfg.quantization == "int8":
-            from mllm_npu_tpu.ops.quant import Int8Dense
-            return Int8Dense(features, dtype=dtype, name=name)
-        if cfg.quantization == "int4":
+        if cfg.quantization in ("int8", "int4"):
+            # TP role per the GSPMD rules table (parallel/sharding.py):
+            # N-sharded producers are column-parallel, the K-sharded
+            # reducers (o_proj/down_proj) row-parallel — drives the
+            # shard_map dispatch under a multi-chip tensor axis
+            tp_mode = "row" if name in ("o_proj", "down_proj") \
+                else "column"
+            if cfg.quantization == "int8":
+                from mllm_npu_tpu.ops.quant import Int8Dense
+                return Int8Dense(features, dtype=dtype, name=name,
+                                 tp_mode=tp_mode)
             from mllm_npu_tpu.ops.quant import Int4Dense
             return Int4Dense(features, group_size=cfg.quant_group_size,
-                             dtype=dtype, name=name)
+                             dtype=dtype, name=name, tp_mode=tp_mode)
         return nn.Dense(features, use_bias=False, dtype=dtype,
                         param_dtype=param_dtype, name=name)
     return dense
@@ -558,13 +565,13 @@ class LlamaForCausalLM(nn.Module):
             if cfg.quantization == "int8":
                 from mllm_npu_tpu.ops.quant import Int8Dense
                 self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
-                                         name="lm_head")
+                                         name="lm_head", tp_mode="column")
             elif cfg.quantization == "int4":
                 from mllm_npu_tpu.ops.quant import Int4Dense
                 self.lm_head = Int4Dense(cfg.vocab_size,
                                          group_size=cfg.quant_group_size,
                                          dtype=self.dtype,
-                                         name="lm_head")
+                                         name="lm_head", tp_mode="column")
             else:
                 self.lm_head = nn.Dense(
                     cfg.vocab_size, use_bias=False, dtype=self.dtype,

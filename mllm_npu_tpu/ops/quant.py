@@ -151,6 +151,112 @@ def _on_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Tensor-parallel dispatch: like flash attention, the Pallas dequant
+# matmuls are opaque to GSPMD — inside a pjit'd step on a real multi-chip
+# mesh the compiler would replicate the quantized weights (per layer, per
+# token: exactly the HBM traffic int8/int4 exist to remove). When an
+# ops.flash_mesh(mesh) context is active during tracing and the mesh has
+# a tensor axis > 1, the quantized Dense modules route through shard_map
+# with the weight sharded the same way the GSPMD rules table lays it out
+# (parallel/sharding.py LLAMA_RULES):
+#   column mode (q/k/v/qkv, gate/up, lm_head): W sharded on N; x
+#     replicated over tensor; output N-sharded, no collective.
+#   row mode (o_proj, down_proj): W sharded on K; x sharded on its
+#     feature axis (the producer is column-parallel, so this layout is
+#     already local); per-shard partial sums psum'd over the tensor axis.
+# Scales follow the kernel: int8 [N] shards on N for column / replicates
+# for row; int4 [K/G, N] shards on N for column / on the group axis for
+# row (shards hold whole groups).
+# ---------------------------------------------------------------------------
+
+
+def _active_mesh_axes():
+    """(mesh, batch_axes, tensor_size) of the innermost flash_mesh
+    context, or None. Lazy import: ops/__init__ imports this module's
+    siblings, so quant.py reads the stack at call time."""
+    from mllm_npu_tpu import ops as _ops
+    stack = getattr(_ops, "_FLASH_MESH_STACK", None)
+    if not stack:
+        return None
+    mesh, batch_axes, _head = stack[-1]
+    if mesh is None:
+        return None
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tsize = sizes.get("tensor", 1)
+    if tsize <= 1:
+        return None
+    return mesh, batch_axes, sizes, tsize
+
+
+def tp_quant_matmul(x: jax.Array, qt, *, mode: Optional[str],
+                    bits: int, interpret: bool = False):
+    """shard_map'd quantized matmul over the active flash_mesh.
+
+    Returns None when no multi-device tensor axis is active or shapes
+    don't divide — callers fall through to the plain (single-device /
+    GSPMD) path. ``mode`` is "column" | "row" | None per the module's
+    role in the transformer block.
+    """
+    if mode not in ("column", "row"):
+        return None
+    active = _active_mesh_axes()
+    if active is None:
+        return None
+    mesh, batch_axes, sizes, tsize = active
+    from jax.sharding import PartitionSpec as P
+
+    K, N = qt.values.shape
+    if mode == "column":
+        if N % tsize != 0:
+            return None
+        if bits == 4 and qt.scale.shape[1] % tsize != 0:
+            return None
+    else:
+        if K % tsize != 0:
+            return None
+        # int4 row shards must hold whole quant groups
+        if bits == 4 and qt.scale.shape[0] % tsize != 0:
+            return None
+
+    # leading batch dim over the data-like axes when divisible (serving
+    # meshes are usually (1, 1, tensor); train never quantizes)
+    b_axes = tuple(a for a in batch_axes if sizes.get(a, 1) > 1)
+    bsz = 1
+    for a in b_axes:
+        bsz *= sizes[a]
+    bspec = b_axes if (b_axes and x.ndim >= 2 and x.shape[0] % bsz == 0
+                       and x.shape[0] >= bsz) else None
+    mid = [None] * (x.ndim - 2) if x.ndim >= 2 else []
+
+    if mode == "column":
+        x_spec = P(*([bspec] + mid + [None])) if x.ndim >= 2 else P(None)
+        w_spec = P(None, "tensor")
+        s_spec = P("tensor") if bits == 8 else P(None, "tensor")
+        o_spec = P(*([bspec] + mid + ["tensor"])) if x.ndim >= 2 \
+            else P("tensor")
+    else:
+        x_spec = P(*([bspec] + mid + ["tensor"])) if x.ndim >= 2 \
+            else P("tensor")
+        w_spec = P("tensor", None)
+        s_spec = P() if bits == 8 else P("tensor", None)
+        o_spec = P(*([bspec] + mid + [None])) if x.ndim >= 2 else P(None)
+
+    matmul = int8_matmul if bits == 8 else int4_matmul
+    qt_cls = QuantizedTensor if bits == 8 else QuantizedTensor4
+
+    def local(xl, wl, sl):
+        out = matmul(xl, qt_cls(wl, sl), interpret=interpret)
+        if mode == "row":
+            out = jax.lax.psum(out, "tensor")
+        return out
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(x_spec, w_spec, s_spec),
+                       out_specs=o_spec, check_vma=False)
+    return fn(x, qt.values, qt.scale)
+
+
+# ---------------------------------------------------------------------------
 # int4 (group-wise scales): decode at 8B scale is weight-streaming-bound,
 # so int4 storage is the next ~2x after int8 — XLA packs S4 two-per-byte
 # in HBM. Per-channel scales are too coarse at 4 bits; group-wise scales
@@ -282,14 +388,18 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
 class Int4Dense(nn.Module):
     """No-bias Dense with int4 weight storage + group-wise scales.
 
-    Param structure: {"kernel_q": int4 [K, N], "scale": f32 [K/G, N]} —
-    produced from a trained kernel by :func:`quantize_dense_params`
-    with ``bits=4``.
+    Param structure: {"kernel_q": int4 [K, N], "scale_g": f32 [K/G, N]}
+    — produced from a trained kernel by :func:`quantize_dense_params`
+    with ``bits=4``. The group scale gets its own param name (vs the
+    int8 per-channel "scale") so the sharding rules table can lay the
+    group axis out along the kernel's K sharding without colliding with
+    scan-stacked [L, N] int8 scales of the same rank.
     """
     features: int
     group_size: int = 256
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    tp_mode: Optional[str] = None   # "column" | "row" under a TP mesh
 
     @nn.compact
     def __call__(self, x):
@@ -297,9 +407,13 @@ class Int4Dense(nn.Module):
         G = self.group_size if K % self.group_size == 0 else K
         kernel_q = self.param("kernel_q", nn.initializers.zeros,
                               (K, self.features), jnp.int4)
-        scale = self.param("scale", nn.initializers.ones,
+        scale = self.param("scale_g", nn.initializers.ones,
                            (K // G, self.features), jnp.float32)
         qt = QuantizedTensor4(kernel_q, scale)
+        y = tp_quant_matmul(x.astype(self.dtype), qt,
+                            mode=self.tp_mode, bits=4)
+        if y is not None:
+            return y
         if _on_tpu():
             return int4_matmul(x.astype(self.dtype), qt)
         return jnp.dot(x.astype(self.dtype),
@@ -315,6 +429,7 @@ class Int8Dense(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32   # scale dtype
+    tp_mode: Optional[str] = None   # "column" | "row" under a TP mesh
 
     @nn.compact
     def __call__(self, x):
@@ -324,6 +439,10 @@ class Int8Dense(nn.Module):
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
         qt = QuantizedTensor(kernel_q, scale)
+        y = tp_quant_matmul(x.astype(self.dtype), qt,
+                            mode=self.tp_mode, bits=8)
+        if y is not None:
+            return y
         if _on_tpu():
             return int8_matmul(x.astype(self.dtype), qt)
         return jnp.dot(x.astype(self.dtype),
@@ -358,7 +477,8 @@ def quantize_dense_params(params, *, skip=("embed",), bits: int = 8,
             else:
                 qt = quant(leaf)
             out[path[:-1] + ("kernel_q",)] = qt.values
-            out[path[:-1] + ("scale",)] = qt.scale
+            scale_key = "scale" if bits == 8 else "scale_g"
+            out[path[:-1] + (scale_key,)] = qt.scale
         else:
             out[path] = leaf
     return flax.traverse_util.unflatten_dict(out)

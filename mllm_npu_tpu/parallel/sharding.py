@@ -34,8 +34,12 @@ LLAMA_RULES: list[tuple[str, P]] = [
     # quant scales live on the kernel's output (N) axis: int8 [N] and
     # int4 [K/G, N] both resolve via left-padding of a 1-entry spec
     (r"(q_proj|k_proj|v_proj|qkv_proj|gate_proj|up_proj|gate_up_proj"
-     r"|lm_head)(/base)?/scale$",                     P("tensor")),
+     r"|lm_head)(/base)?/(scale|scale_g)$",           P("tensor")),
     (r"(o_proj|down_proj)(/base)?/scale$",            P("fsdp")),
+    # int4 group scales [K/G, N] on the row-parallel reducers: the group
+    # axis follows the kernel's K sharding (tensor) so the shard_map TP
+    # dispatch slices them locally
+    (r"(o_proj|down_proj)(/base)?/scale_g$",          P("tensor", "fsdp")),
     (r"lora_a$",                                      P("fsdp", None)),
     (r"lora_b$",                                      P(None, "fsdp")),
     (r"(input_layernorm|post_attention_layernorm|norm)/weight$", P()),

@@ -209,6 +209,23 @@ class ContinuousBatchingEngine:
             block_kv=block_kv, block_mask=block_mask,
             logits_slice=logits_slice, method=fwd)
 
+    def _jit(self, fn, **jit_kwargs):
+        """jit a model-applying fn; on a TP mesh the body traces inside
+        ops.flash_mesh(mesh) so Pallas kernels (prefill flash attention,
+        int8/int4 dequant matmuls) run under Manual axes via shard_map —
+        GSPMD cannot partition a pallas_call and would otherwise
+        replicate the very weights quantization exists to shrink."""
+        if self.mesh is None:
+            return jax.jit(fn, **jit_kwargs)
+        from mllm_npu_tpu import ops as _ops
+        mesh = self.mesh
+
+        def in_mesh(*args, **kwargs):
+            with _ops.flash_mesh(mesh):
+                return fn(*args, **kwargs)
+
+        return jax.jit(in_mesh, **jit_kwargs)
+
     def _get_prefill(self, bucket: int, has_images: bool, n_img: int):
         key = (bucket, has_images, n_img)
         if key in self._prefill_cache:
@@ -255,7 +272,7 @@ class ContinuousBatchingEngine:
                 first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
             return first_tok[0], cache["k"], cache["v"], row_len[0]
 
-        fn = jax.jit(run)
+        fn = self._jit(run)
         self._prefill_cache[key] = fn
         return fn
 
@@ -279,7 +296,7 @@ class ContinuousBatchingEngine:
                     method=self.model.embed_and_scatter)
             return embeds
 
-        fn = jax.jit(run)
+        fn = self._jit(run)
         self._prefill_cache[key] = fn
         return fn
 
@@ -307,7 +324,7 @@ class ContinuousBatchingEngine:
                 inputs_embeds=chunk, logits_slice=1)
             return h, cache["k"], cache["v"]
 
-        fn = jax.jit(run, donate_argnums=(2, 3))
+        fn = self._jit(run, donate_argnums=(2, 3))
         self._prefill_cache[key] = fn
         return fn
 
@@ -335,7 +352,7 @@ class ContinuousBatchingEngine:
                                     top_p[None], do_sample[None])[0]
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
 
-        fn = jax.jit(run)
+        fn = self._jit(run)
         self._prefill_cache[key] = fn
         return fn
 
@@ -508,7 +525,7 @@ class ContinuousBatchingEngine:
                     "do_sample": state["do_sample"]})
             return new_state, toks.T, mask.T     # [B, n_steps]
 
-        self._decode_fn = jax.jit(run, donate_argnums=(1,))
+        self._decode_fn = self._jit(run, donate_argnums=(1,))
         return self._decode_fn
 
     # ------------------------------------------------------------------

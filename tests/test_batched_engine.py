@@ -401,3 +401,40 @@ def test_chunked_admission_fuzz_parity():
             assert r.tokens == expected(p), (
                 trial, bucket, chunk, max_prompt, len(p), r.tokens,
                 expected(p))
+
+
+@pytest.mark.slow
+def test_mesh_sharded_engine_parity_quantized():
+    """Quantized (int8) TP serving: the engine over a tensor=2 mesh with
+    an int8-layout LLM — shard_map-dispatched dequant matmuls (GSPMD
+    cannot partition the Pallas kernels) — produces the same greedy
+    tokens as the single-device int8 engine."""
+    from mllm_npu_tpu.models.generation.generate import rebuild_llm
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.utils.weights import quantize_llama_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices (virtual CPU mesh or multi-chip)")
+    model, lm_cfg, params = _stack()
+    model, lm_cfg, params = rebuild_llm(
+        model, lm_cfg, params,
+        lambda p: quantize_llama_params(p, bits=8),
+        quantization="int8")
+    prompts = [[3, 17, 42, 9], [5, 1, 88, 200, 14, 3]]
+    T = 6
+
+    def tokens(mesh):
+        eng = ContinuousBatchingEngine(
+            model, lm_cfg, params, num_slots=2, max_len=64, block_steps=3,
+            prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+            mesh=mesh)
+        reqs = [eng.submit(p, max_new_tokens=T) for p in prompts]
+        eng.run_until_idle()
+        assert all(r.done for r in reqs)
+        return [r.tokens for r in reqs]
+
+    expected = tokens(None)
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                      devices=jax.devices()[:2])
+    got = tokens(mesh)
+    assert got == expected, (got, expected)

@@ -203,7 +203,7 @@ def test_int4_dense_module():
     m = Int4Dense(32)
     p = m.init(jax.random.PRNGKey(1), x)
     assert p["params"]["kernel_q"].dtype == jnp.int4
-    assert p["params"]["scale"].shape == (1, 32)
+    assert p["params"]["scale_g"].shape == (1, 32)
     out = m.apply(p, x)
     assert float(jnp.abs(out).max()) == 0.0
 
@@ -357,14 +357,115 @@ def test_quantized_kernels_get_tp_specs():
         "q_proj": {"kernel_q": jnp.zeros((256, 512), jnp.int8),
                    "scale": jnp.zeros((512,), jnp.float32)},
         "o_proj": {"kernel_q": jnp.zeros((512, 256), jnp.int4),
-                   "scale": jnp.zeros((2, 256), jnp.float32)},
+                   "scale_g": jnp.zeros((2, 256), jnp.float32)},
         "down_proj": {"kernel_q": jnp.zeros((512, 256), jnp.int4),
-                      "scale": jnp.zeros((2, 256), jnp.float32)},
+                      "scale_g": jnp.zeros((2, 256), jnp.float32)},
+        # scan-stacked int8 row scale [L, N]: layers must NOT shard
+        "up_proj": {"kernel_q": jnp.zeros((256, 512), jnp.int8),
+                    "scale": jnp.zeros((512,), jnp.float32)},
     }
+    stacked = {"o_proj": {"scale": jnp.zeros((4, 256), jnp.float32)}}
     specs = infer_param_specs(params, mesh)
     assert "tensor" in str(specs["q_proj"]["kernel_q"])
     assert str(specs["q_proj"]["scale"]).count("tensor") == 1
     assert "tensor" in str(specs["o_proj"]["kernel_q"])
-    # row-parallel scales live on the fsdp-sharded output axis
-    assert "fsdp" in str(specs["o_proj"]["scale"])
-    assert "fsdp" in str(specs["down_proj"]["scale"])
+    # int4 row scales: group axis follows the kernel's K (tensor)
+    # sharding, output axis on fsdp
+    assert str(specs["o_proj"]["scale_g"]) == "PartitionSpec('tensor', 'fsdp')"
+    assert str(specs["down_proj"]["scale_g"]) == \
+        "PartitionSpec('tensor', 'fsdp')"
+    sspecs = infer_param_specs(stacked, mesh)
+    # stacked int8 [L, N] row scale keeps N on fsdp, L unsharded
+    assert str(sspecs["o_proj"]["scale"]) == "PartitionSpec(None, 'fsdp')"
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel shard_map dispatch (Pallas quant matmuls are opaque to
+# GSPMD — under a multi-chip tensor axis the modules must route through
+# shard_map with the weight actually sharded, ops/quant.py tp_quant_matmul)
+# ---------------------------------------------------------------------------
+
+
+def _tp_mesh(tensor=2):
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+
+    if len(jax.devices()) < tensor:
+        pytest.skip("needs >= %d devices" % tensor)
+    return build_mesh(MeshConfig(data=1, fsdp=1, tensor=tensor),
+                      devices=jax.devices()[:tensor])
+
+
+def test_tp_quant_matmul_column_row_parity():
+    """shard_map'd int8/int4 matmuls match the dequantized reference in
+    both TP roles (column: W sharded on N, no collective; row: W sharded
+    on K, psum over tensor)."""
+    from mllm_npu_tpu import ops
+    from mllm_npu_tpu.ops.quant import (dequantize_int4, dequantize_int8,
+                                        quantize_int4, quantize_int8,
+                                        tp_quant_matmul)
+
+    mesh = _tp_mesh(2)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 256), jnp.float32)
+    w_col = jnp.asarray(rng.randn(256, 512), jnp.float32)
+    w_row = jnp.asarray(rng.randn(256, 512), jnp.float32)
+
+    # no active mesh context -> dispatch declines
+    assert tp_quant_matmul(x, quantize_int8(w_col), mode="column",
+                           bits=8) is None
+
+    with ops.flash_mesh(mesh):
+        for bits, quant, deq in ((8, quantize_int8, dequantize_int8),
+                                 (4, lambda w: quantize_int4(w, 128),
+                                  dequantize_int4)):
+            qt = quant(w_col)
+            ref = x @ deq(qt, jnp.float32)
+            out = tp_quant_matmul(x, qt, mode="column", bits=bits)
+            assert out is not None
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+            qt = quant(w_row)
+            ref = x @ deq(qt, jnp.float32)
+            out = tp_quant_matmul(x, qt, mode="row", bits=bits)
+            assert out is not None
+            # row mode splits the K reduction across shards (psum)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+        # mode=None / unknown declines even with an active mesh
+        assert tp_quant_matmul(x, quantize_int8(w_col), mode=None,
+                               bits=8) is None
+
+
+def test_tp_quant_dense_modules_dispatch_under_mesh():
+    """Int8Dense/Int4Dense with tp_mode route through shard_map inside a
+    jit when a flash_mesh is active, and match their no-mesh output."""
+    from mllm_npu_tpu import ops
+    from mllm_npu_tpu.ops.quant import Int4Dense, Int8Dense
+
+    mesh = _tp_mesh(2)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 256), jnp.float32)
+
+    for m in (Int8Dense(512, dtype=jnp.float32, tp_mode="column"),
+              Int8Dense(512, dtype=jnp.float32, tp_mode="row"),
+              Int4Dense(512, group_size=128, dtype=jnp.float32,
+                        tp_mode="column"),
+              Int4Dense(512, group_size=128, dtype=jnp.float32,
+                        tp_mode="row")):
+        p = m.init(jax.random.PRNGKey(1), x)
+        # give the zero-init quant params real values
+        p = jax.tree_util.tree_map(
+            lambda a: (jax.random.randint(jax.random.PRNGKey(2), a.shape,
+                                          -7, 8).astype(a.dtype)
+                       if a.dtype in (jnp.int8, jnp.int4)
+                       else jnp.abs(jax.random.normal(
+                           jax.random.PRNGKey(3), a.shape, a.dtype))), p)
+        ref = m.apply(p, x)
+
+        def run(p, x, m=m):
+            with ops.flash_mesh(mesh):
+                return m.apply(p, x)
+
+        out = jax.jit(run)(p, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
