@@ -40,13 +40,19 @@ class MeshConfig:
     # the scaling-book recipe: keep model axes (fsdp/tensor/seq) on ICI
     # inside a slice, put pure data parallelism on DCN. 1 = single slice.
     dcn_data: int = 1
+    # pipeline parallelism: decoder layers sharded into `stage` groups,
+    # microbatches flow stage-to-stage via ppermute (parallel/pipeline.py
+    # — a GPipe schedule under shard_map; GSPMD cannot pipeline on its
+    # own). The coarsest model axis: cross-stage traffic is one
+    # activation hand-off per microbatch per step. 1 = off.
+    stage: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int, int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, ...]:
         assert n_devices % max(self.dcn_data, 1) == 0, (
             f"{n_devices} devices not divisible by dcn_data="
             f"{self.dcn_data}")
         per_slice = n_devices // max(self.dcn_data, 1)
-        dims = [self.data, self.fsdp, self.tensor, self.seq]
+        dims = [self.data, self.stage, self.fsdp, self.tensor, self.seq]
         known = 1
         for d in dims:
             if d != -1:
@@ -56,13 +62,15 @@ class MeshConfig:
                 f"{per_slice} devices not divisible by fixed axes {known}")
             infer = per_slice // known
             dims = [infer if d == -1 else d for d in dims]
-        total = dims[0] * dims[1] * dims[2] * dims[3]
+        total = 1
+        for d in dims:
+            total *= d
         assert total == per_slice, (
             f"mesh {dims} != per-slice device count {per_slice}")
         return (max(self.dcn_data, 1), *dims)
 
 
-AXIS_NAMES = ("dcn_data", "data", "fsdp", "tensor", "seq")
+AXIS_NAMES = ("dcn_data", "data", "stage", "fsdp", "tensor", "seq")
 
 
 def build_mesh(config: MeshConfig = MeshConfig(),
@@ -82,9 +90,10 @@ def build_mesh(config: MeshConfig = MeshConfig(),
                for d in devices):
             from jax.experimental import mesh_utils
             arr = mesh_utils.create_hybrid_device_mesh(
-                dims[1:], (dims[0], 1, 1, 1), devices=devices)
-            # hybrid mesh leads with dcn*data — reshape to the 5-axis
-            # (dcn_data, data, fsdp, tensor, seq) layout
+                dims[1:], (dims[0],) + (1,) * (len(dims) - 2),
+                devices=devices)
+            # hybrid mesh leads with dcn*data — reshape to the 6-axis
+            # (dcn_data, data, stage, fsdp, tensor, seq) layout
             arr = np.asarray(arr).reshape(dims)
         else:
             arr = np.asarray(devices).reshape(dims)

@@ -69,9 +69,9 @@ def test_train_step_runs_all_meshes(mesh_cfg):
 
 def test_mesh_config_resolve_dcn():
     cfg = MeshConfig(dcn_data=2, data=-1, fsdp=2, tensor=1)
-    assert cfg.resolve(8) == (2, 2, 2, 1, 1)
-    assert MeshConfig().resolve(8) == (1, 8, 1, 1, 1)
-    assert MeshConfig(data=2, seq=2, fsdp=2).resolve(8) == (1, 2, 2, 1, 2)
+    assert cfg.resolve(8) == (2, 2, 1, 2, 1, 1)
+    assert MeshConfig().resolve(8) == (1, 8, 1, 1, 1, 1)
+    assert MeshConfig(data=2, seq=2, fsdp=2).resolve(8) == (1, 2, 1, 2, 1, 2)
     with pytest.raises(AssertionError):
         MeshConfig(dcn_data=3).resolve(8)
 
