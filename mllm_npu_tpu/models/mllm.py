@@ -158,34 +158,15 @@ class GeneralizedMultimodalModel(nn.Module):
             input_embeds, ids_cmp_mask, image_embeds_lm)
         return input_embeds, image_embeds
 
-    def __call__(self, input_ids, images, attention_mask, labels,
-                 embeds_gen_mask=None, embeds_cmp_mask=None,
-                 ids_gen_mask=None, ids_cmp_mask=None,
-                 patch_positions=None):
-        input_embeds, _ = self.embed_and_scatter(
-            input_ids, images, embeds_cmp_mask, ids_cmp_mask,
-            patch_positions)
-        seg = attention_mask.astype(jnp.int32) if attention_mask is not None \
-            else None
-        # attention_mask doubles as segment ids: binary for plain padded
-        # rows, multi-valued for packed rows (collate_packed); positions
-        # restart per segment either way
-        positions = None if seg is None else packed_positions(seg)
-        logits, _, _ = self.language_model(
-            inputs_embeds=input_embeds, positions=positions,
-            segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
+    def compute_losses(self, logits, last_hidden, image_embeds, labels,
+                       embeds_gen_mask=None, ids_gen_mask=None):
+        """Loss tail given LM outputs — split out of ``__call__`` so the
+        pipelined forward (parallel/pipeline.py, which runs the decoder
+        stack under shard_map and the head outside) can reuse the exact
+        loss semantics."""
         lm_loss = causal_lm_loss(logits, labels)
         total = self.lm_loss_scale * lm_loss
         return {"total_loss": total, "lm_loss": lm_loss}
-
-
-class SEED(GeneralizedMultimodalModel):
-    """Comprehension + generation: adds output projector and rec loss."""
-    output_projector: Optional[nn.Module] = None
-    rec_loss_scale: float = 1.0
-    vit_down: bool = False
-    mse: bool = False
-    num_img_out_tokens: int = 64
 
     def __call__(self, input_ids, images, attention_mask, labels,
                  embeds_gen_mask=None, embeds_cmp_mask=None,
@@ -196,10 +177,27 @@ class SEED(GeneralizedMultimodalModel):
             patch_positions)
         seg = attention_mask.astype(jnp.int32) if attention_mask is not None \
             else None
+        # attention_mask doubles as segment ids: binary for plain padded
+        # rows, multi-valued for packed rows (collate_packed); positions
+        # restart per segment either way
         positions = None if seg is None else packed_positions(seg)
         logits, last_hidden, _ = self.language_model(
             inputs_embeds=input_embeds, positions=positions,
             segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
+        return self.compute_losses(logits, last_hidden, image_embeds,
+                                   labels, embeds_gen_mask, ids_gen_mask)
+
+
+class SEED(GeneralizedMultimodalModel):
+    """Comprehension + generation: adds output projector and rec loss."""
+    output_projector: Optional[nn.Module] = None
+    rec_loss_scale: float = 1.0
+    vit_down: bool = False
+    mse: bool = False
+    num_img_out_tokens: int = 64
+
+    def compute_losses(self, logits, last_hidden, image_embeds, labels,
+                       embeds_gen_mask=None, ids_gen_mask=None):
         lm_loss = causal_lm_loss(logits, labels)
 
         rec_loss = jnp.array(0.0, jnp.float32)

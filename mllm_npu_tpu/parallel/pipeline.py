@@ -201,6 +201,63 @@ def pipelined_lm_logits(lm, params, input_ids, *, mesh: Mesh,
                     method=lambda m, hh: m._logits(m.model.norm(hh)))
 
 
+def pipelined_mllm_loss(model, params, batch, *, mesh: Mesh,
+                        n_micro: int, checkpoint: bool = True) -> dict:
+    """Full MLLM training forward with the LLM decoder stack pipelined.
+
+    Vision tower + projector + scatter (``embed_and_scatter``), final
+    norm, LM head and the losses run under plain GSPMD (replicated over
+    ``stage``); only the decoder stack — where the FLOPs are — runs the
+    GPipe schedule. Matches ``model.apply(params, **batch)`` losses
+    (tested). Dropout rngs are not threaded into the pipelined layers
+    (pretraining configs don't use LLM dropout; LoRA dropout is a
+    serving-time no-op).
+    """
+    lm = model.language_model
+    cfg = lm.config
+    assert cfg.scan_layers, "pipeline needs the stacked layer layout"
+    input_ids = batch["input_ids"]
+    B, S = input_ids.shape
+    assert B % n_micro == 0, (B, n_micro)
+    mb = B // n_micro
+
+    input_embeds, image_embeds = model.apply(
+        params, input_ids, batch.get("images"),
+        batch.get("embeds_cmp_mask"), batch.get("ids_cmp_mask"),
+        batch.get("patch_positions"), method=model.embed_and_scatter)
+    h = input_embeds.astype(lm.dtype)
+
+    am = batch.get("attention_mask")
+    seg = None if am is None else am.astype(jnp.int32)
+    if seg is not None:
+        from mllm_npu_tpu.models.language_models.llama import \
+            packed_positions
+        positions = packed_positions(seg)
+    else:
+        positions = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32), (B, S))
+    consts = {"positions": positions.reshape(n_micro, mb, S)}
+    if seg is not None:
+        consts["segment_ids"] = seg.reshape(n_micro, mb, S)
+
+    out = pipeline_layers(
+        mesh, make_llama_layer_apply(cfg, lm.dtype, lm.param_dtype),
+        params["params"]["language_model"]["model"]["layers"],
+        h.reshape(n_micro, mb, S, h.shape[-1]), consts,
+        n_micro=n_micro, checkpoint=checkpoint)
+    h = out.reshape(B, S, out.shape[-1])
+
+    def tail(m, hh):
+        hn = m.language_model.model.norm(hh)
+        return m.language_model._logits(hn), hn
+
+    logits, last_hidden = model.apply(params, h, method=tail)
+    return model.apply(
+        params, logits, last_hidden, image_embeds, batch["labels"],
+        batch.get("embeds_gen_mask"), batch.get("ids_gen_mask"),
+        method=model.compute_losses)
+
+
 def pipeline_param_specs(params: Any, mesh: Mesh) -> Any:
     """PartitionSpecs for a pipelined LM: the standard rules table, with
     the leading (layer-stack) axis of every ``layers`` leaf moved onto

@@ -70,6 +70,8 @@ class TrainArgs:
     mesh_tensor: int = 1
     mesh_dcn_data: int = 1   # multi-slice: data-parallel replicas on DCN
     mesh_seq: int = 1        # Ulysses sequence parallelism
+    mesh_stage: int = 1      # GPipe pipeline stages (parallel/pipeline.py)
+    pipeline_microbatches: int = 4   # microbatches per step when stage>1
     # observability
     project_name: str = "mllm_tpu"
     run_name: str = ""
@@ -129,7 +131,8 @@ def main(argv=None):
     mesh = build_mesh(MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                                  tensor=args.mesh_tensor,
                                  dcn_data=args.mesh_dcn_data,
-                                 seq=args.mesh_seq))
+                                 seq=args.mesh_seq,
+                                 stage=args.mesh_stage))
     log.info("mesh: %s", dict(mesh.shape))
 
     # ---- model ------------------------------------------------------------
@@ -178,10 +181,23 @@ def main(argv=None):
     state = create_train_state(params, opt_cfg)
     del params
 
-    def loss_fn(p, batch, rng):
-        out = model.apply(p, **batch, rngs={"dropout": rng})
-        metrics = {k: v for k, v in out.items() if k != "total_loss"}
-        return out["total_loss"], metrics
+    if args.mesh_stage > 1:
+        # GPipe pipeline over the `stage` axis: decoder stack under
+        # shard_map + ppermute, everything else plain GSPMD (dropout
+        # rngs are not threaded into the pipelined layers)
+        from mllm_npu_tpu.parallel.pipeline import pipelined_mllm_loss
+
+        def loss_fn(p, batch, rng):
+            out = pipelined_mllm_loss(
+                model, p, batch, mesh=mesh,
+                n_micro=args.pipeline_microbatches)
+            metrics = {k: v for k, v in out.items() if k != "total_loss"}
+            return out["total_loss"], metrics
+    else:
+        def loss_fn(p, batch, rng):
+            out = model.apply(p, **batch, rngs={"dropout": rng})
+            metrics = {k: v for k, v in out.items() if k != "total_loss"}
+            return out["total_loss"], metrics
 
     ga = args.gradient_accumulation_steps
     step_fn = make_train_step(loss_fn, grad_accum=ga)

@@ -182,7 +182,14 @@ def make_train_step(loss_fn: Callable[[Any, Any], tuple],
 def compile_train_step(step_fn, state: TrainState, batch_example: Any,
                        mesh: Mesh):
     """jit with explicit state/batch shardings over the mesh."""
-    param_specs = infer_param_specs(state.params, mesh)
+    if mesh.shape.get("stage", 1) > 1:
+        # pipeline parallelism: layer stacks live stage-sharded at rest
+        # (matching the GPipe shard_map's in_specs — no resharding at
+        # step entry)
+        from mllm_npu_tpu.parallel.pipeline import pipeline_param_specs
+        param_specs = pipeline_param_specs(state.params, mesh)
+    else:
+        param_specs = infer_param_specs(state.params, mesh)
     state_sharding = TrainState(
         step=NamedSharding(mesh, P()),
         params=jax.tree_util.tree_map(

@@ -123,3 +123,54 @@ def test_pipeline_param_specs_stage_on_layer_axis():
     assert tuple(lspec)[0] == "stage", lspec
     espec = specs["params"]["model"]["embed_tokens"]["embedding"]
     assert "stage" not in str(espec)
+
+
+def test_pipelined_mllm_loss_parity():
+    """Full MLLM (vision + scatter + SEED rec loss) with the decoder
+    stack pipelined matches model.apply losses exactly."""
+    from mllm_npu_tpu.parallel.pipeline import pipelined_mllm_loss
+    from mllm_npu_tpu.utils.testing import (TinySpec, build_tiny_mllm,
+                                            synthetic_batch)
+
+    _need(2)
+    mesh = build_mesh(MeshConfig(data=1, stage=2),
+                      devices=jax.devices()[:2])
+    for seed in (False, True):
+        spec = TinySpec(batch=4, seq=32)
+        model, _, _ = build_tiny_mllm(spec, seed=seed)
+        batch = synthetic_batch(spec, cmp_images=1,
+                                gen_images=1 if seed else 0)
+        params = model.init(jax.random.PRNGKey(0), **batch)
+        ref = model.apply(params, **batch)
+        got = pipelined_mllm_loss(model, params, batch, mesh=mesh,
+                                  n_micro=2)
+        assert set(got) == set(ref)
+        for k in ref:
+            np.testing.assert_allclose(
+                float(got[k]), float(ref[k]), rtol=2e-5, atol=1e-6,
+                err_msg=k)
+
+
+def test_pipelined_mllm_grad_parity():
+    """Grads through the pipelined MLLM loss (incl. vision/projector
+    params outside the shard_map) match the plain forward."""
+    from mllm_npu_tpu.parallel.pipeline import pipelined_mllm_loss
+    from mllm_npu_tpu.utils.testing import (TinySpec, build_tiny_mllm,
+                                            synthetic_batch)
+
+    _need(2)
+    mesh = build_mesh(MeshConfig(data=1, stage=2),
+                      devices=jax.devices()[:2])
+    spec = TinySpec(batch=2, seq=32)
+    model, _, _ = build_tiny_mllm(spec, seed=True)
+    batch = synthetic_batch(spec, cmp_images=1, gen_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    g0 = jax.grad(lambda p: model.apply(p, **batch)["total_loss"])(params)
+    g1 = jax.grad(lambda p: pipelined_mllm_loss(
+        model, p, batch, mesh=mesh, n_micro=2)["total_loss"])(params)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g0):
+        np.testing.assert_allclose(
+            np.asarray(flat1[path]), np.asarray(leaf),
+            rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(path))

@@ -132,3 +132,36 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     ]
     main(argv3)
     assert sorted((tmp_path / "out2").glob("checkpoint_*"))
+
+
+@pytest.mark.slow
+def test_train_cli_pipeline_stage(tmp_path, monkeypatch):
+    """--mesh_stage 2: the trainer CLI runs the GPipe pipelined loss
+    (decoder stack under shard_map + ppermute) end-to-end with data=4 x
+    stage=2 on the 8-device CPU mesh and writes a checkpoint."""
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    _make_caption_tar(tmp_path / "shard-000.tar")
+    proc_json = tmp_path / "proc.json"
+    proc_json.write_text(json.dumps({
+        "size": {"height": 56, "width": 56},
+        "do_normalize": True, "image_mean": [0.5, 0.5, 0.5],
+        "image_std": [0.5, 0.5, 0.5]}))
+    model_yaml = tmp_path / "model.yaml"
+    model_yaml.write_text(MODEL_YAML.format(proc_json=proc_json))
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(DATA_YAML.format(data_dir=tmp_path))
+    out_dir = tmp_path / "out_pp"
+
+    main([
+        "--model", str(model_yaml),
+        "--train_dataset", str(data_yaml),
+        "--output_dir", str(out_dir),
+        "--mesh_stage", "2", "--pipeline_microbatches", "2",
+        "--max_steps", "2", "--save_steps", "2", "--log_steps", "1",
+        "--warmup_steps", "0", "--learning_rate", "1e-3",
+        "--fake_tokenizer",
+    ])
+    assert sorted(out_dir.glob("checkpoint_*"))
