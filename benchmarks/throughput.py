@@ -42,6 +42,13 @@ def main():
     p.add_argument("--prefill_chunk", type=int, default=None,
                    help="admit prompts N tokens per tick (chunked "
                         "prefill) instead of one monolithic prefill")
+    p.add_argument("--prefix_cache", type=int, default=None,
+                   help="enable the prompt-prefix KV cache (N entries)")
+    p.add_argument("--prefix_probe", type=int, default=0, metavar="PL",
+                   help="measure time-to-first-token for a prompt whose "
+                        "first PL tokens are a cached shared prefix "
+                        "(system prompt) vs a cold prompt of the same "
+                        "length; requires --prefix_cache")
     p.add_argument("--stall_probe", type=int, default=0, metavar="SP",
                    help="measure the decode stall a long (SP-token) "
                         "prompt admission inflicts on running slots: "
@@ -136,12 +143,20 @@ def main():
 
     # One engine; time blocks 2..N of a continuous run (slope past the
     # first timed point cancels prefill + compile + fixed RTT).
+    # prefix-probe mode: the cache aligns prefixes to the prompt bucket,
+    # so the bucket must be the shared-prefix length (not the full
+    # prompt) for the shared prefix to be reusable
+    bucket = args.prefix_probe if args.prefix_probe else S
     eng = ContinuousBatchingEngine(
         model, lm_cfg, params, num_slots=args.slots,
         max_len=args.max_len, block_steps=args.block_steps,
-        prompt_bucket=S, eos_token_id=-1,
-        prefill_chunk=args.prefill_chunk)
+        prompt_bucket=bucket, eos_token_id=-1,
+        prefill_chunk=args.prefill_chunk,
+        prefix_cache=args.prefix_cache)
 
+    if args.prefix_probe:
+        _prefix_probe(args, eng, lm_cfg, rs)
+        return
     if args.stall_probe:
         _stall_probe(args, eng, ids, lm_cfg, rs)
         return
@@ -165,6 +180,65 @@ def main():
         "prompt_tokens": S, "block_steps": args.block_steps,
         "agg_tokens_per_sec": round(tok_per_sec, 1),
         "step_ms_all_slots": round(per_tok_ms, 3),
+    }))
+
+
+def _prefix_probe(args, eng, lm_cfg, rs):
+    """Time-to-first-token with a cached shared prefix vs cold.
+
+    Serving reality: every request in a deployment repeats the system
+    prompt / few-shot preamble; the prefix cache prefills only the
+    suffix. This probe measures exactly that: admission wall time for a
+    prompt whose first --prefix_probe tokens are already cached vs a
+    same-length cold prompt (medians of 3, all graphs pre-compiled)."""
+    import time
+
+    import numpy as np
+
+    assert eng.prefix_cache is not None, "--prefix_probe needs " \
+        "--prefix_cache N"
+    S = args.prompt_tokens
+    PL = args.prefix_probe
+    assert 0 < PL < S, f"--prefix_probe must be in (0, {S})"
+
+    def make_prompt(sys_seed, sfx_seed):
+        sysp = np.random.RandomState(sys_seed).randint(
+            5, lm_cfg.vocab_size, (PL,)).astype(np.int32)
+        sfx = np.random.RandomState(10_000 + sfx_seed).randint(
+            5, lm_cfg.vocab_size, (S - PL,)).astype(np.int32)
+        return np.concatenate([sysp, sfx])
+
+    def admit_ms(prompt):
+        r = eng.submit(prompt, max_new_tokens=2)
+        t0 = time.perf_counter()
+        ticks = 0
+        while not r.tokens:
+            eng.step()
+            ticks += 1
+            assert ticks < 1000, "admission never produced a token"
+        dt = 1e3 * (time.perf_counter() - t0)
+        eng.run_until_idle()
+        assert r.done and not r.error, r.error
+        return dt
+
+    # warm every graph: one cold admission (monolithic prefill + embeds)
+    # and one hit admission (chunk graphs + first-token head)
+    admit_ms(make_prompt(999, 0))
+    admit_ms(make_prompt(999, 1))
+
+    cold, warm = [], []
+    for i in range(3):
+        cold.append(admit_ms(make_prompt(i, 2 * i)))       # new prefix
+        warm.append(admit_ms(make_prompt(i, 2 * i + 1)))   # cached hit
+    cold.sort(), warm.sort()
+    st = eng.stats()["prefix_cache"]
+    print(json.dumps({
+        "preset": args.preset, "prompt_tokens": S, "shared_prefix": PL,
+        "prefill_chunk": args.prefill_chunk,
+        "ttft_ms_cold_p50": round(cold[1], 2),
+        "ttft_ms_prefix_hit_p50": round(warm[1], 2),
+        "ttft_speedup": round(cold[1] / warm[1], 2),
+        "prefix_cache": st,
     }))
 
 

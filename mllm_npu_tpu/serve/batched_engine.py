@@ -104,6 +104,7 @@ class ContinuousBatchingEngine:
                  mesh=None,
                  enable_sampling: bool = False,
                  prefill_chunk: Optional[int] = None,
+                 prefix_cache: Optional[int] = None,
                  ladder=None):
         self.model = model
         self.cfg = lm_config
@@ -192,6 +193,15 @@ class ContinuousBatchingEngine:
                 "prefill_chunk must divide (or be a multiple of) " \
                 "prompt_bucket so chunks tile the bucketed prompt"
         self._prefilling: Optional[dict] = None
+        # prompt-prefix KV reuse (system prompts, chat history):
+        # text-only admissions store their bucket-aligned prefix KV; a
+        # later request sharing that prefix prefills only its suffix
+        # (serve/prefix_cache.py). None/0 = off.
+        self.prefix_cache = None
+        if prefix_cache:
+            from mllm_npu_tpu.serve.prefix_cache import PrefixCache
+            self.prefix_cache = PrefixCache(prefix_cache,
+                                            granularity=prompt_bucket)
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -606,11 +616,43 @@ class ContinuousBatchingEngine:
                 req.error = f"{type(e).__name__}: {e}"
                 req.done = True
 
+    def _effective_chunk(self, bucket: int) -> Optional[int]:
+        """Chunk size that tiles this bucket (prefill_chunk when it
+        divides the bucket, else prompt_bucket), or None when nothing
+        tiles it (max_prompt < prompt_bucket edge case)."""
+        C = (self.prefill_chunk if self.prefill_chunk is not None
+             else self.prompt_bucket)
+        if bucket % C != 0:
+            C = self.prompt_bucket
+        if bucket % C != 0:
+            return None
+        return C
+
+    def stats(self) -> dict:
+        s = {"slots_busy": sum(r is not None for r in self._slot_req),
+             "pending": len(self._pending)}
+        if self.prefix_cache is not None:
+            s["prefix_cache"] = self.prefix_cache.stats()
+        return s
+
     def _admit_one(self, slot: int, req: Request):
         Sp = len(req.input_ids)
         bucket = min(_round_up(Sp, self.prompt_bucket),
                      self.max_prompt)
         assert Sp <= bucket, "prompt longer than engine max_prompt"
+        # prefix-cache fast path: a cached prefix means only the suffix
+        # needs compute — run it through the chunk machinery
+        # synchronously (one admission tick, like monolithic prefill)
+        if self.prefix_cache is not None and req.images is None:
+            C = self._effective_chunk(bucket)
+            entry = (None if C is None else
+                     self.prefix_cache.lookup(req.input_ids, align=C))
+            if entry is not None:
+                pf = self._make_prefill_state(slot, req, bucket, C,
+                                              entry)
+                while pf["filled"] < pf["bucket"]:
+                    self._prefill_chunk_step(pf)
+                return
         ids = np.full((1, bucket), self.pad, np.int32)
         ids[0, :Sp] = req.input_ids
         pm = np.zeros((1, bucket), np.int32)
@@ -640,6 +682,9 @@ class ContinuousBatchingEngine:
                             jnp.asarray(pm), first_tok, row_len,
                             req.max_new_tokens, temp, top_p,
                             do_sample, rng_decode)
+        if self.prefix_cache is not None and req.images is None:
+            # insert() does not donate kv_k/kv_v — safe to slice after
+            self.prefix_cache.insert(req.input_ids, kv_k, kv_v)
         tok0 = int(first_tok)
         req.tokens.append(tok0)
         if tok0 == self.eos or req.max_new_tokens <= 1:
@@ -674,15 +719,25 @@ class ContinuousBatchingEngine:
         bucket = min(_round_up(Sp, self.prompt_bucket),
                      self.max_prompt)
         assert Sp <= bucket, "prompt longer than engine max_prompt"
-        C = self.prefill_chunk
-        if bucket % C != 0:
-            # prompt_bucket tiles any bucket that is a multiple of it
-            C = self.prompt_bucket
-        if bucket % C != 0:
+        C = self._effective_chunk(bucket)
+        if C is None:
             # max_prompt < prompt_bucket edge case: no chunk size tiles
             # this bucket — monolithic prefill is always correct
             self._admit_one(slot, req)
             return
+        entry = None
+        if self.prefix_cache is not None and req.images is None:
+            entry = self.prefix_cache.lookup(req.input_ids, align=C)
+        self._prefilling = self._make_prefill_state(slot, req, bucket,
+                                                    C, entry)
+        self._prefill_chunk_step(self._prefilling)
+
+    def _make_prefill_state(self, slot: int, req: Request, bucket: int,
+                            C: int, entry=None) -> dict:
+        """Per-request chunked-prefill state; when ``entry`` (a
+        PrefixEntry) is given, its KV blocks seed the cache and the
+        chunk loop starts at the cached length."""
+        Sp = len(req.input_ids)
         ids = np.full((1, bucket), self.pad, np.int32)
         ids[0, :Sp] = req.input_ids
         pm = np.zeros((1, bucket), np.int32)
@@ -698,15 +753,23 @@ class ContinuousBatchingEngine:
             self.params, jnp.asarray(ids), req.images,
             req.embeds_cmp_mask, icm, req.patch_positions)
         cache = init_cache(self.cfg, 1, bucket, dtype=self.cache_dtype)
+        pk, pv, filled = cache["k"], cache["v"], 0
+        if entry is not None:
+            plen = len(entry.tokens)
+            assert plen % C == 0 and plen < bucket, (plen, C, bucket)
+            pk = jax.lax.dynamic_update_slice(
+                pk, entry.k.astype(pk.dtype), (0, 0, 0, 0, 0))
+            pv = jax.lax.dynamic_update_slice(
+                pv, entry.v.astype(pv.dtype), (0, 0, 0, 0, 0))
+            filled = plen
         base = jax.random.fold_in(jax.random.PRNGKey(req.seed), req.uid)
         rng_prefill, rng_decode = jax.random.split(base)
-        self._prefilling = {
+        return {
             "req": req, "slot": slot, "embeds": embeds,
-            "pm": pm, "pk": cache["k"], "pv": cache["v"],
-            "filled": 0, "bucket": bucket, "chunk": C, "Sp": Sp,
+            "pm": pm, "pk": pk, "pv": pv,
+            "filled": filled, "bucket": bucket, "chunk": C, "Sp": Sp,
             "rng_prefill": rng_prefill, "rng_decode": rng_decode,
         }
-        self._prefill_chunk_step(self._prefilling)
 
     def _prefill_chunk_step(self, pf: dict):
         req, C = pf["req"], pf["chunk"]
@@ -741,6 +804,8 @@ class ContinuousBatchingEngine:
             jnp.asarray(pf["pm"]), first_tok,
             jnp.asarray(pf["Sp"], jnp.int32), req.max_new_tokens,
             temp, top_p, do_sample, pf["rng_decode"])
+        if self.prefix_cache is not None and req.images is None:
+            self.prefix_cache.insert(req.input_ids, pf["pk"], pf["pv"])
         self._prefilling = None
         tok0 = int(first_tok)
         req.tokens.append(tok0)

@@ -90,7 +90,14 @@ class InferenceEngine:
 
     def _prepare_comprehension(self, input_text: str, image_b64: str):
         """b64 image + question → (prompt ids, anyres patches, masks).
-        Shared by the single-request and continuous-batching paths."""
+        Shared by the single-request and continuous-batching paths.
+        A null/empty image means text-only chat: no patch tower run,
+        and (in the batched engine) the request is prefix-cacheable."""
+        if not image_b64:
+            prompt = f"Question: {input_text}\nAnswer:"
+            ids = [self.tokenizer.bos_token_id] + self.tokenizer.encode(
+                prompt, add_special_tokens=False)
+            return np.asarray(ids, np.int32), None, None, None
         image = Image.open(io.BytesIO(
             base64.b64decode(image_b64))).convert("RGB")
         patches, patch_pos = process_anyres_image(
@@ -123,6 +130,12 @@ class InferenceEngine:
                       max_new_tokens: Optional[int] = None) -> str:
         ids, patches, patch_pos, ids_cmp_mask = \
             self._prepare_comprehension(input_text, image_b64)
+        if patches is None:
+            out = self.generator.generate(
+                jnp.asarray(ids[None]),
+                num_img_gen_tokens=self.num_img_out_tokens)
+            gen_ids = np.asarray(out["generate_ids"][0])
+            return self._strip_text(gen_ids)
         n = patches.shape[0]
         out = self.generator.generate(
             jnp.asarray(ids[None]),
@@ -191,7 +204,8 @@ class BatchedInferenceEngine(InferenceEngine):
     def __init__(self, *, num_slots: int = 8, max_len: int = 2048,
                  max_prompt: int = 1024, block_steps: int = 16,
                  batch_prompt_bucket: int = 128, mesh=None,
-                 prefill_chunk: Optional[int] = None, **kw):
+                 prefill_chunk: Optional[int] = None,
+                 prefix_cache: Optional[int] = None, **kw):
         super().__init__(**kw)
         import threading
 
@@ -207,7 +221,8 @@ class BatchedInferenceEngine(InferenceEngine):
             eos_token_id=gen.sampling.eos_token_id,
             pad_token_id=gen.sampling.pad_token_id,
             cache_dtype=gen.cache_dtype, mesh=mesh,
-            prefill_chunk=prefill_chunk, ladder=gen.ladder)
+            prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
+            ladder=gen.ladder)
         if mesh is not None:
             # the engine sharded the params across the mesh; point the
             # single-request generator (image_gen branch) at the SAME
@@ -228,7 +243,6 @@ class BatchedInferenceEngine(InferenceEngine):
 
         ids, patches, patch_pos, ids_cmp_mask = \
             self._prepare_comprehension(input_text, image_b64)
-        n = patches.shape[0]
         eng = self.batch_engine
         want = max_new_tokens or self.generator.sampling.max_new_tokens
         mnt = min(want, eng.capacity_for(len(ids)))
@@ -248,12 +262,16 @@ class BatchedInferenceEngine(InferenceEngine):
             if self._engine_error is not None:
                 raise RuntimeError("batched engine failed") \
                     from self._engine_error
-            req = eng.submit(
-                ids, images=jnp.asarray(patches),
-                embeds_cmp_mask=jnp.ones((n,), bool),
-                ids_cmp_mask=ids_cmp_mask,
-                patch_positions=jnp.asarray(patch_pos),
-                max_new_tokens=mnt)
+            if patches is None:
+                # text-only: eligible for the prompt-prefix KV cache
+                req = eng.submit(ids, max_new_tokens=mnt)
+            else:
+                req = eng.submit(
+                    ids, images=jnp.asarray(patches),
+                    embeds_cmp_mask=jnp.ones((patches.shape[0],), bool),
+                    ids_cmp_mask=ids_cmp_mask,
+                    patch_positions=jnp.asarray(patch_pos),
+                    max_new_tokens=mnt)
             # mutable entry: [req, done-event, stream queue, #sent]
             self._inflight[req.uid] = [req, ev, q, 0]
             self._cv.notify()

@@ -86,8 +86,15 @@ class ModelWorker:
         return self.in_flight
 
     def get_status(self) -> dict:
-        return {"model_names": [self.model_name], "speed": 1,
-                "queue_length": self.get_queue_length()}
+        status = {"model_names": [self.model_name], "speed": 1,
+                  "queue_length": self.get_queue_length()}
+        # batched-engine observability (slots busy, pending queue,
+        # prefix-cache hit counters) — additive to the reference's
+        # status contract (reference serve/worker.py:366-376)
+        batch_eng = getattr(self.engine, "batch_engine", None)
+        if batch_eng is not None:
+            status["engine"] = batch_eng.stats()
+        return status
 
     # -- generation ----------------------------------------------------------
 
@@ -101,13 +108,13 @@ class ModelWorker:
                     # cumulative text snapshots, one chunk per decode
                     # block (LLaVA-style streaming contract)
                     for text in self.engine.comprehension_stream(
-                            params["input_text"], params["image"]):
+                            params["input_text"], params.get("image")):
                         yield json.dumps(
                             {"text": text,
                              "error_code": 0}).encode() + b"\0"
                     return
                 text = self.engine.comprehension(params["input_text"],
-                                                 params["image"])
+                                                 params.get("image"))
                 yield json.dumps({"text": text,
                                   "error_code": 0}).encode() + b"\0"
             else:
@@ -202,6 +209,8 @@ def load_engine_from_config(model_config_path: str,
                             max_len: int = 2048,
                             tensor_parallel: int = 1,
                             prefill_chunk=None,
+                            prefix_cache=None,
+                            prompt_bucket: int = 128,
                             cast_bf16: bool = True,
                             quantize_int8: bool = False,
                             quantize_int4: bool = False,
@@ -268,7 +277,9 @@ def load_engine_from_config(model_config_path: str,
         return BatchedInferenceEngine(
             num_slots=num_slots, max_len=max_len,
             max_prompt=max_len // 2, mesh=mesh,
-            prefill_chunk=prefill_chunk, **common)
+            batch_prompt_bucket=prompt_bucket,
+            prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
+            **common)
     return InferenceEngine(**common)
 
 
@@ -304,6 +315,16 @@ def parse_worker_args(argv=None):
     parser.add_argument("--tensor-parallel", type=int, default=1,
                         help="shard the batched engine over N chips "
                              "(GSPMD tensor axis)")
+    parser.add_argument("--prompt-bucket", type=int, default=128,
+                        help="prompt lengths round up to this before "
+                             "prefill (fewer compiled graphs); also "
+                             "the prefix-cache alignment — shared "
+                             "prefixes shorter than this never hit")
+    parser.add_argument("--prefix-cache", type=int, default=None,
+                        help="cache up to N prompt-prefix KV entries "
+                             "on device; requests sharing a cached "
+                             "prefix (system prompt, chat history) "
+                             "prefill only their suffix")
     parser.add_argument("--prefill-chunk", type=int, default=None,
                         help="chunked prefill: admit prompts N tokens "
                              "per tick so long prompts don't stall "
@@ -366,6 +387,8 @@ def main():
         max_len=args.max_cache_len,
         tensor_parallel=args.tensor_parallel,
         prefill_chunk=args.prefill_chunk,
+        prefix_cache=args.prefix_cache,
+        prompt_bucket=args.prompt_bucket,
         cast_bf16=args.cast_bf16,
         quantize_int8=args.quantize_int8,
         quantize_int4=args.quantize_int4,

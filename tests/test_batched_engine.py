@@ -438,3 +438,88 @@ def test_mesh_sharded_engine_parity_quantized():
                       devices=jax.devices()[:2])
     got = tokens(mesh)
     assert got == expected, (got, expected)
+
+
+# ---------------------------------------------------------------------------
+# prompt-prefix KV cache
+# ---------------------------------------------------------------------------
+
+def test_prefix_cache_unit_longest_aligned_match():
+    from mllm_npu_tpu.serve.prefix_cache import PrefixCache
+    pc = PrefixCache(max_entries=4, granularity=4)
+    k = jnp.zeros((2, 1, 8, 1, 4))
+    v = jnp.ones((2, 1, 8, 1, 4))
+    toks = np.arange(8, dtype=np.int32)
+    pc.insert(toks, k, v)                 # stores the full 8 (aligned)
+    assert len(pc) == 1
+
+    # identical prompt: hit capped at <= Sp-1 -> 4 (aligned down)
+    e = pc.lookup(toks)
+    assert e is not None and len(e.tokens) == 4
+    assert e.k.shape[2] == 4
+
+    # longer prompt sharing all 8: full-entry hit
+    longer = np.concatenate([toks, toks])
+    e = pc.lookup(longer)
+    assert e is not None and len(e.tokens) == 8
+
+    # diverges at position 5: common=5 -> aligned 4
+    div = toks.copy()
+    div[5] = 99
+    e = pc.lookup(np.concatenate([div, div]))
+    assert e is not None and len(e.tokens) == 4
+
+    # diverges at position 2: common=2 -> no aligned prefix
+    div2 = toks.copy()
+    div2[2] = 99
+    assert pc.lookup(np.concatenate([div2, div2])) is None
+
+    # align coarser than granularity
+    e = pc.lookup(longer, align=8)
+    assert e is not None and len(e.tokens) == 8
+    assert pc.lookup(toks, align=8) is None   # usable=(8-1)//8*8=0
+
+
+def test_prefix_cache_lru_eviction():
+    from mllm_npu_tpu.serve.prefix_cache import PrefixCache
+    pc = PrefixCache(max_entries=2, granularity=2)
+    k = jnp.zeros((1, 1, 4, 1, 2))
+    a = np.asarray([1, 2, 3, 4], np.int32)
+    b = np.asarray([5, 6, 7, 8], np.int32)
+    c = np.asarray([9, 10, 11, 12], np.int32)
+    pc.insert(a, k, k)
+    pc.insert(b, k, k)
+    pc.lookup(np.concatenate([a, a]))     # refresh a
+    pc.insert(c, k, k)                    # evicts b (LRU)
+    assert pc.lookup(np.concatenate([b, b])) is None
+    assert pc.lookup(np.concatenate([a, a])) is not None
+    assert pc.lookup(np.concatenate([c, c])) is not None
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("prefill_chunk", [None, 8])
+def test_prefix_cache_token_parity(prefill_chunk):
+    """Greedy outputs are identical whether a prompt prefills cold or
+    reuses a cached prefix — incl. the resubmit-the-same-prompt case."""
+    model, lm_cfg, params = _stack()
+    sys_prompt = [7, 3, 99, 12, 45, 6, 81, 2, 33, 9]   # > bucket of 8
+    prompts = [sys_prompt + [100, 101, 5],
+               sys_prompt + [200, 14, 77, 21],
+               sys_prompt + [100, 101, 5]]             # exact resubmit
+    T = 6
+    expected = [_reference_tokens(model, lm_cfg, params, p, T)
+                for p in prompts]
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=48, block_steps=3,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        prefill_chunk=prefill_chunk, prefix_cache=4)
+    reqs = []
+    for p in prompts:                   # serialize so hits are real
+        r = eng.submit(p, max_new_tokens=T)
+        eng.run_until_idle()
+        reqs.append(r)
+    for req, exp in zip(reqs, expected):
+        assert req.done and req.tokens == exp, (req.tokens, exp)
+    st = eng.stats()["prefix_cache"]
+    assert st["hits"] >= 2 and st["tokens_saved"] >= 16, st

@@ -162,6 +162,21 @@ def test_batched_engine_serving_concurrent():
         batched.comprehension("x " * 200, img)
 
 
+def test_worker_text_only_comprehension():
+    """A request without an image (null or absent key) is text-only
+    chat: no vision tower run, error_code 0. This is the path the
+    prompt-prefix KV cache accelerates."""
+    eng = _tiny_engine()
+    w = ModelWorker("http://unused", "http://worker", "id0", "tiny", eng,
+                    no_register=True)
+    for params in ({"input_text": "hello", "image": None},
+                   {"input_text": "hello"}):
+        chunks = list(w.generate_gate(params))
+        msg = json.loads(chunks[0].rstrip(b"\0"))
+        assert msg["error_code"] == 0, msg
+        assert isinstance(msg["text"], str)
+
+
 def test_worker_error_contract():
     eng = _tiny_engine()
     w = ModelWorker("http://unused", "http://worker", "id0", "tiny", eng,
