@@ -205,16 +205,18 @@ def tp_quant_matmul(x: jax.Array, qt, *, mode: Optional[str],
     mesh, batch_axes, sizes, tsize = active
     from jax.sharding import PartitionSpec as P
 
-    K, N = qt.values.shape
+    Kw, N = qt.values.shape   # int4: Kw = K/2 (nibble-packed rows)
     if mode == "column":
         if N % tsize != 0:
             return None
         if bits == 4 and qt.scale.shape[1] % tsize != 0:
             return None
     else:
-        if K % tsize != 0:
+        if Kw % tsize != 0:
             return None
-        # int4 row shards must hold whole quant groups
+        # int4 row shards must hold whole quant groups (packing is
+        # within-group, so whole-group shards unpack to contiguous
+        # K-ranges that match x's feature sharding)
         if bits == 4 and qt.scale.shape[0] % tsize != 0:
             return None
 
@@ -258,35 +260,71 @@ def tp_quant_matmul(x: jax.Array, qt, *, mode: Optional[str],
 
 # ---------------------------------------------------------------------------
 # int4 (group-wise scales): decode at 8B scale is weight-streaming-bound,
-# so int4 storage is the next ~2x after int8 — XLA packs S4 two-per-byte
-# in HBM. Per-channel scales are too coarse at 4 bits; group-wise scales
-# along K (group_size, default 256) are the standard RTN recipe.
+# so int4 storage is the next ~2x after int8. Per-channel scales are too
+# coarse at 4 bits; group-wise scales along K (group_size, default 256)
+# are the standard RTN recipe.
+#
+# STORAGE IS NIBBLE-PACKED INT8, not jnp.int4: S4 arrays cannot cross
+# the PJRT boundary on current TPU runtimes (observed live: an S4 jit
+# *input* — which every param is — hits "Recursively calling jit" /
+# UNIMPLEMENTED in the runtime; S4 works only as a jit-internal value).
+# Packing two 4-bit values per int8 byte keeps the exact 2x HBM win and
+# is runtime-agnostic.
+#
+# Packing layout (group-half, chosen so the kernel needs NO interleave):
+# within each K-group of size G, byte row r of the packed group (G/2
+# rows) holds value W[g*G + r] in the LOW nibble and W[g*G + G/2 + r]
+# in the HIGH nibble. The matmul then computes
+#   dot(x[:, gG : gG+G/2], lo) + dot(x[:, gG+G/2 : (g+1)G], hi)
+# — two contiguous half-group dots per group, no row shuffle on the
+# unpacked tile (a sublane interleave would serialize on the VPU).
 # ---------------------------------------------------------------------------
 
 class QuantizedTensor4(NamedTuple):
-    values: jax.Array   # int4 [K, N]
+    values: jax.Array   # int8 [K // 2, N] — two nibbles per byte (see above)
     scale: jax.Array    # f32 [K // group, N]
+
+
+def _pack_nibbles(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """lo/hi int values in [-8, 7] → int8 bytes (lo in bits 0-3)."""
+    v = (lo.astype(jnp.int32) & 0xF) | ((hi.astype(jnp.int32) & 0xF) << 4)
+    return jnp.where(v >= 128, v - 256, v).astype(jnp.int8)
+
+
+def _unpack_lo_hi(packed: jax.Array):
+    """int8 bytes → (lo, hi) sign-extended int32 nibbles."""
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28
+    hi = p >> 4          # p is sign-extended from int8, so this is exact
+    return lo, hi
 
 
 def quantize_int4(w: jax.Array, group_size: int = 256) -> QuantizedTensor4:
     """Symmetric group-wise int4 quantization: scales per (K-group, N).
     K not divisible by group_size falls back to one group (= per-channel
-    scales over the whole K)."""
+    scales over the whole K). Values are nibble-packed into int8
+    [K/2, N] in the group-half layout (module docstring)."""
     w = w.astype(jnp.float32)
     K, N = w.shape
     G = group_size if K % group_size == 0 else K
+    assert G % 2 == 0, f"int4 group size must be even, got {G} (K={K})"
     wg = w.reshape(K // G, G, N)
     amax = jnp.max(jnp.abs(wg), axis=1)                     # [K/G, N]
     scale = jnp.where(amax == 0, 1.0, amax / 7.0)
     q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
-    return QuantizedTensor4(q.reshape(K, N).astype(jnp.int4), scale)
+    q = q.reshape(K // G, 2, G // 2, N)
+    packed = _pack_nibbles(q[:, 0], q[:, 1]).reshape(K // 2, N)
+    return QuantizedTensor4(packed, scale)
 
 
 def dequantize_int4(qt: QuantizedTensor4, dtype=jnp.bfloat16) -> jax.Array:
-    K, N = qt.values.shape
+    Kh, N = qt.values.shape
+    K = 2 * Kh
     n_g = qt.scale.shape[0]
-    v = qt.values.astype(jnp.float32).reshape(n_g, K // n_g, N)
-    return (v * qt.scale[:, None, :]).reshape(K, N).astype(dtype)
+    lo, hi = _unpack_lo_hi(qt.values.reshape(n_g, Kh // n_g, N))
+    v = jnp.stack([lo, hi], axis=1).astype(jnp.float32)  # [n_g, 2, G/2, N]
+    v = v * qt.scale[:, None, None, :]
+    return v.reshape(K, N).astype(dtype)
 
 
 def _matmul4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, n_g, G):
@@ -297,12 +335,17 @@ def _matmul4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k, n_g, G):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[0]                                  # [bm, bk] bf16
-    w = w_ref[0]                                  # [bk, bn] int4
+    w = w_ref[0]                                  # [bk/2, bn] packed int8
     s = s_ref[0]                                  # [n_g, bn] f32
+    Gh = G // 2
     for g in range(n_g):                          # static unroll
+        wp = w[g * Gh:(g + 1) * Gh, :]
+        lo, hi = _unpack_lo_hi(wp)                # sign-extended nibbles
         xg = x[:, g * G:(g + 1) * G]
-        wg = w[g * G:(g + 1) * G, :].astype(x.dtype)
-        part = jax.lax.dot(xg, wg, preferred_element_type=jnp.float32)
+        part = jax.lax.dot(xg[:, :Gh], lo.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+        part += jax.lax.dot(xg[:, Gh:], hi.astype(x.dtype),
+                            preferred_element_type=jnp.float32)
         acc_ref[...] += part * s[g][None, :]
 
     @pl.when(ki == n_k - 1)
@@ -315,13 +358,13 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
                 block_n: Optional[int] = None,
                 block_k: Optional[int] = None,
                 interpret: bool = False) -> jax.Array:
-    """x [.., K] @ int4 W [K, N] with group-wise scales → [.., N]."""
+    """x [.., K] @ packed-int4 W [K/2, N] with group scales → [.., N]."""
     *lead, K = x.shape
     M = 1
     for d in lead:
         M *= d
-    Kw, N = qt.values.shape
-    assert K == Kw, (K, Kw)
+    Kh, N = qt.values.shape
+    assert K == 2 * Kh, (K, Kh)
     n_groups = qt.scale.shape[0]
     G = K // n_groups
     x2 = x.reshape(M, K)
@@ -367,7 +410,7 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
         grid=(M_p // bm, N // bn, K // bk),
         in_specs=[
             pl.BlockSpec((1, bm, bk), lambda mi, ni, ki: (0, mi, ki)),
-            pl.BlockSpec((1, bk, bn), lambda mi, ni, ki: (0, ki, ni)),
+            pl.BlockSpec((1, bk // 2, bn), lambda mi, ni, ki: (0, ki, ni)),
             pl.BlockSpec((1, n_g, bn), lambda mi, ni, ki: (0, ki, ni)),
         ],
         out_specs=pl.BlockSpec((1, bm, bn), lambda mi, ni, ki: (0, mi, ni)),
@@ -388,12 +431,13 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
 class Int4Dense(nn.Module):
     """No-bias Dense with int4 weight storage + group-wise scales.
 
-    Param structure: {"kernel_q": int4 [K, N], "scale_g": f32 [K/G, N]}
-    — produced from a trained kernel by :func:`quantize_dense_params`
-    with ``bits=4``. The group scale gets its own param name (vs the
-    int8 per-channel "scale") so the sharding rules table can lay the
-    group axis out along the kernel's K sharding without colliding with
-    scan-stacked [L, N] int8 scales of the same rank.
+    Param structure: {"kernel_q": packed int8 [K/2, N], "scale_g": f32
+    [K/G, N]} — produced from a trained kernel by
+    :func:`quantize_dense_params` with ``bits=4`` (nibble packing layout
+    in the module docstring above). The group scale gets its own param
+    name (vs the int8 per-channel "scale") so the sharding rules table
+    can lay the group axis out along the kernel's K sharding without
+    colliding with scan-stacked [L, N] int8 scales of the same rank.
     """
     features: int
     group_size: int = 256
@@ -405,8 +449,9 @@ class Int4Dense(nn.Module):
     def __call__(self, x):
         K = x.shape[-1]
         G = self.group_size if K % self.group_size == 0 else K
+        assert K % 2 == 0 and G % 2 == 0, (K, G)
         kernel_q = self.param("kernel_q", nn.initializers.zeros,
-                              (K, self.features), jnp.int4)
+                              (K // 2, self.features), jnp.int8)
         scale = self.param("scale_g", nn.initializers.ones,
                            (K // G, self.features), jnp.float32)
         qt = QuantizedTensor4(kernel_q, scale)

@@ -165,7 +165,9 @@ def test_int4_quantize_roundtrip_error():
 
     w = jax.random.normal(jax.random.PRNGKey(0), (512, 32)) * 0.1
     qt = quantize_int4(w, group_size=128)
-    assert qt.values.dtype == jnp.int4
+    # nibble-packed int8 storage: [K/2, N] (S4 can't cross PJRT)
+    assert qt.values.dtype == jnp.int8
+    assert qt.values.shape == (256, 32)
     assert qt.scale.shape == (4, 32)
     wd = dequantize_int4(qt, jnp.float32)
     err = np.abs(np.asarray(wd - w))
@@ -202,7 +204,8 @@ def test_int4_dense_module():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 256), jnp.bfloat16)
     m = Int4Dense(32)
     p = m.init(jax.random.PRNGKey(1), x)
-    assert p["params"]["kernel_q"].dtype == jnp.int4
+    assert p["params"]["kernel_q"].dtype == jnp.int8
+    assert p["params"]["kernel_q"].shape == (128, 32)   # packed K/2
     assert p["params"]["scale_g"].shape == (1, 32)
     out = m.apply(p, x)
     assert float(jnp.abs(out).max()) == 0.0
@@ -289,9 +292,11 @@ def test_generator_quantize_int4_generates():
                                                 eos_token_id=-1,
                                                 pad_token_id=0),
                         quantize_int4=True)
-    lm_leaves = jax.tree_util.tree_leaves(
-        gen.params["params"]["language_model"])
-    assert any(l.dtype == jnp.int4 for l in lm_leaves)
+    flat = jax.tree_util.tree_flatten_with_path(
+        gen.params["params"]["language_model"])[0]
+    # int4 layout: group scales present, packed kernels stored int8
+    assert any("scale_g" in jax.tree_util.keystr(k) for k, _ in flat)
+    assert all(l.dtype != jnp.int4 for _, l in flat)   # S4 never a param
     out = gen.generate(batch["input_ids"], images=batch["images"],
                        embeds_cmp_mask=batch["embeds_cmp_mask"],
                        ids_cmp_mask=batch["ids_cmp_mask"],
@@ -356,9 +361,9 @@ def test_quantized_kernels_get_tp_specs():
     params = {
         "q_proj": {"kernel_q": jnp.zeros((256, 512), jnp.int8),
                    "scale": jnp.zeros((512,), jnp.float32)},
-        "o_proj": {"kernel_q": jnp.zeros((512, 256), jnp.int4),
+        "o_proj": {"kernel_q": jnp.zeros((256, 256), jnp.int8),
                    "scale_g": jnp.zeros((2, 256), jnp.float32)},
-        "down_proj": {"kernel_q": jnp.zeros((512, 256), jnp.int4),
+        "down_proj": {"kernel_q": jnp.zeros((256, 256), jnp.int8),
                       "scale_g": jnp.zeros((2, 256), jnp.float32)},
         # scan-stacked int8 row scale [L, N]: layers must NOT shard
         "up_proj": {"kernel_q": jnp.zeros((256, 512), jnp.int8),
@@ -469,3 +474,56 @@ def test_tp_quant_dense_modules_dispatch_under_mesh():
         out = jax.jit(run)(p, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_int4_engine_matches_direct_forward():
+    """The batched engine's int4 decode (single-device AND tensor=2
+    shard_map dispatch) must be token-exact vs a direct full re-forward
+    of the SAME quantized model — quantization loss is allowed, engine
+    drift is not. (This invariant caught the S4-params-at-the-PJRT-
+    boundary failure that motivated the packed-int8 storage layout.)"""
+    import dataclasses
+
+    from mllm_npu_tpu.models.language_models.llama import LlamaForCausalLM
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.serve.batched_engine import ContinuousBatchingEngine
+    from mllm_npu_tpu.utils.testing import (TinySpec, build_tiny_mllm,
+                                            synthetic_batch)
+    from mllm_npu_tpu.utils.weights import quantize_llama_params
+
+    spec = TinySpec(batch=1, seq=64)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    prompt = [3, 17, 42, 9]
+
+    qcfg = dataclasses.replace(lm_cfg, quantization="int4",
+                               quant_group_size=32)
+    qlm = LlamaForCausalLM(qcfg, dtype=model.language_model.dtype)
+    qm = model.clone(language_model=qlm)
+    qp = jax.tree_util.tree_map(lambda x: x, params)
+    qp["params"]["language_model"] = quantize_llama_params(
+        params["params"]["language_model"], bits=4, group_size=32)
+
+    lmp = {"params": qp["params"]["language_model"]}
+    seq = list(prompt)
+    for _ in range(6):
+        logits, _, _ = qlm.apply(lmp, jnp.asarray([seq], jnp.int32))
+        seq.append(int(np.asarray(logits)[0, len(seq) - 1].argmax()))
+    direct = seq[4:]
+
+    def run(mesh=None):
+        eng = ContinuousBatchingEngine(
+            qm, qcfg, qp, num_slots=2, max_len=32, block_steps=2,
+            prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+            mesh=mesh)
+        r = eng.submit(list(prompt), max_new_tokens=6)
+        eng.run_until_idle()
+        return r.tokens
+
+    assert run() == direct
+    if len(jax.devices()) >= 2:
+        mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                          devices=jax.devices()[:2])
+        assert run(mesh) == direct
