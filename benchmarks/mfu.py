@@ -55,8 +55,8 @@ def main():
     p.add_argument("--images", type=int, default=8)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
-    p.add_argument("--seq", type=int, default=1,
-                   help="Ulysses sequence-parallel axis")
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="Ulysses sequence-parallel mesh axis")
     p.add_argument("--peak", choices=list(PEAK_BF16), default="v5e")
     p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
     p.add_argument("--remat_policy", default="nothing",
@@ -78,6 +78,10 @@ def main():
     p.add_argument("--no_remat", action="store_true",
                    help="disable gradient checkpointing (measures the "
                         "remat recompute cost when activations fit)")
+    p.add_argument("--ce_chunk", type=int, default=0,
+                   help="chunked (fused-linear) CE: compute the LM loss "
+                        "in sequence chunks of this many positions "
+                        "without materializing [B, S, V] logits")
     args = p.parse_args()
 
     import jax
@@ -164,7 +168,7 @@ def main():
     model = GeneralizedMultimodalModel(
         language_model=lm, vision_encoder=vis, projector=proj,
         freeze_vision_encoder=True, add_patch_pos=True,
-        patch_pos_dim=lm_cfg.hidden_size)
+        patch_pos_dim=lm_cfg.hidden_size, ce_loss_chunk=args.ce_chunk)
 
     B, S, N = args.batch, args.seq, args.images
     rs = np.random.RandomState(0)
@@ -190,7 +194,7 @@ def main():
     }
 
     mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp,
-                                 tensor=args.tensor, seq=args.seq))
+                                 tensor=args.tensor, seq=args.mesh_seq))
     params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
                                                **batch))
     # real init (sharded via jit out-shardings would be ideal; simple path)

@@ -589,17 +589,49 @@ class LlamaForCausalLM(nn.Module):
     def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
                  cache=None, segment_ids=None, attn_mask=None,
                  prefill=False, logits_slice: Optional[int] = None,
-                 block_kv=None, block_mask=None):
+                 block_kv=None, block_mask=None, with_logits: bool = True):
         h, new_cache = self.model(
             input_ids, inputs_embeds=inputs_embeds, positions=positions,
             cache=cache, segment_ids=segment_ids, attn_mask=attn_mask,
             prefill=prefill, block_kv=block_kv, block_mask=block_mask)
+        if not with_logits:
+            # chunked-CE training path: the caller computes the loss from
+            # ``h`` via loss_from_hidden without ever materializing the
+            # full [B, S, V] logits. During init the head params must
+            # still be created — a 1-position slice does that without
+            # allocating [B, S, V] (Dense params depend only on D, V).
+            if self.is_initializing():
+                _ = self._logits(h[:, :1])
+            return None, h, new_cache
         if logits_slice is not None:
             h_logits = h[:, -logits_slice:]
         else:
             h_logits = h
         logits = self._logits(h_logits)
         return logits, h, new_cache
+
+    def loss_from_hidden(self, h, labels, *, chunk: int,
+                         ignore_index: int = IGNORE_INDEX):
+        """Causal LM loss from final hidden states without materializing
+        the full [B, S, V] logits (see :func:`chunked_causal_lm_loss`).
+        Falls back to the dense path for quantized heads (serving-only
+        layouts; training never quantizes) and during init (so the head
+        params get created)."""
+        cfg = self.config
+        if cfg.quantization is not None:
+            return causal_lm_loss(self._logits(h), labels, ignore_index)
+        if cfg.tie_word_embeddings:
+            kernel = self.model.embed_tokens.embedding.T
+        else:
+            if self.is_initializing():
+                # make sure the head params exist (cheap 1-position
+                # touch — never the full [B, S, V] logits, which at
+                # real train shapes would OOM the init forward)
+                _ = self._logits(h[:, :1])
+            kernel = self.lm_head.variables["params"]["kernel"]
+        return chunked_causal_lm_loss(
+            h, kernel, labels, chunk=chunk, compute_dtype=self.dtype,
+            ignore_index=ignore_index)
 
 
 class LlamaForSequenceClassification(nn.Module):
@@ -715,3 +747,63 @@ def causal_lm_loss(logits: jax.Array, labels: jax.Array,
     nll = jnp.where(mask, nll, 0.0)
     denom = jnp.maximum(mask.sum(), 1)
     return nll.sum() / denom
+
+
+def chunked_causal_lm_loss(h: jax.Array, kernel: jax.Array,
+                           labels: jax.Array, *, chunk: int = 256,
+                           compute_dtype=jnp.bfloat16,
+                           ignore_index: int = IGNORE_INDEX) -> jax.Array:
+    """Fused-linear CE: head matmul + softmax-CE per sequence chunk, the
+    full [B, S, V] logits are NEVER materialized.
+
+    At Llama-3's 128k vocab the dense loss path costs B*S*V * (2+4)
+    bytes of activations (bf16 logits + fp32 log-softmax residuals) —
+    multiple GB per step at train shapes, usually the single largest
+    activation. Here a ``lax.scan`` walks S in chunks of ``chunk``
+    positions; each step computes its [B, chunk, V] logits inside
+    ``jax.checkpoint`` (so the backward pass recomputes them from the
+    saved hidden chunk instead of storing them) and reduces to two
+    scalars. Peak logits memory drops S/chunk-fold; the extra cost is
+    one head-matmul recompute in bwd — the same trade ``remat`` makes
+    for decoder layers. Chunking along S (not flattened B*S rows) keeps
+    the batch axis intact so GSPMD data/fsdp sharding propagates without
+    resharding collectives.
+
+    Numerics match :func:`causal_lm_loss` exactly up to reduction order:
+    the matmul runs in ``compute_dtype`` (the head's dtype), the
+    log-sum-exp and gather in fp32.
+    """
+    B, S, D = h.shape
+    hp = h[:, :-1]                                # predict positions
+    tg = labels[:, 1:]
+    R = S - 1
+    C = min(chunk, R)
+    pad = (-R) % C
+    if pad:
+        hp = jnp.pad(hp, ((0, 0), (0, pad), (0, 0)))
+        tg = jnp.pad(tg, ((0, 0), (0, pad)), constant_values=ignore_index)
+    n = (R + pad) // C
+    kernel = kernel.astype(compute_dtype)
+
+    def piece(i, hp, tg, w):
+        hc = jax.lax.dynamic_slice_in_dim(hp, i * C, C, axis=1)
+        tc = jax.lax.dynamic_slice_in_dim(tg, i * C, C, axis=1)
+        logits = (hc.astype(compute_dtype) @ w).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        mask = tc != ignore_index
+        safe = jnp.where(mask, tc, 0)
+        picked = jnp.take_along_axis(
+            logits, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(mask, lse - picked, 0.0)
+        return nll.sum(), mask.sum()
+
+    piece = jax.checkpoint(piece)
+
+    def body(carry, i):
+        s, c = piece(i, hp, tg, kernel)
+        return (carry[0] + s, carry[1] + c), None
+
+    (tot, cnt), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        jnp.arange(n))
+    return tot / jnp.maximum(cnt, 1)

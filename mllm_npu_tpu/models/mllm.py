@@ -121,6 +121,10 @@ class GeneralizedMultimodalModel(nn.Module):
     lm_loss_scale: float = 1.0
     add_patch_pos: bool = False
     patch_pos_dim: int = 4096
+    # chunked (fused-linear) CE: compute the LM loss from hidden states
+    # in sequence chunks of this many positions, never materializing the
+    # full [B, S, V] logits (llama.chunked_causal_lm_loss). 0 = dense.
+    ce_loss_chunk: int = 0
 
     def setup(self):
         if self.add_patch_pos:
@@ -158,13 +162,22 @@ class GeneralizedMultimodalModel(nn.Module):
             input_embeds, ids_cmp_mask, image_embeds_lm)
         return input_embeds, image_embeds
 
+    def _lm_loss(self, logits, last_hidden, labels):
+        """Dense CE over precomputed logits, or the chunked fused-linear
+        path from hidden states when ``ce_loss_chunk`` is set (then
+        ``logits`` may be None — ``__call__`` skips the head matmul)."""
+        if self.ce_loss_chunk:
+            return self.language_model.loss_from_hidden(
+                last_hidden, labels, chunk=self.ce_loss_chunk)
+        return causal_lm_loss(logits, labels)
+
     def compute_losses(self, logits, last_hidden, image_embeds, labels,
                        embeds_gen_mask=None, ids_gen_mask=None):
         """Loss tail given LM outputs — split out of ``__call__`` so the
         pipelined forward (parallel/pipeline.py, which runs the decoder
         stack under shard_map and the head outside) can reuse the exact
         loss semantics."""
-        lm_loss = causal_lm_loss(logits, labels)
+        lm_loss = self._lm_loss(logits, last_hidden, labels)
         total = self.lm_loss_scale * lm_loss
         return {"total_loss": total, "lm_loss": lm_loss}
 
@@ -183,7 +196,8 @@ class GeneralizedMultimodalModel(nn.Module):
         positions = None if seg is None else packed_positions(seg)
         logits, last_hidden, _ = self.language_model(
             inputs_embeds=input_embeds, positions=positions,
-            segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg))
+            segment_ids=None if seg is None else SegmentIds(q=seg, kv=seg),
+            with_logits=not self.ce_loss_chunk)
         return self.compute_losses(logits, last_hidden, image_embeds,
                                    labels, embeds_gen_mask, ids_gen_mask)
 
@@ -198,7 +212,7 @@ class SEED(GeneralizedMultimodalModel):
 
     def compute_losses(self, logits, last_hidden, image_embeds, labels,
                        embeds_gen_mask=None, ids_gen_mask=None):
-        lm_loss = causal_lm_loss(logits, labels)
+        lm_loss = self._lm_loss(logits, last_hidden, labels)
 
         rec_loss = jnp.array(0.0, jnp.float32)
         if image_embeds is not None and ids_gen_mask is not None:

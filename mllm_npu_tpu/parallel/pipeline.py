@@ -249,6 +249,10 @@ def pipelined_mllm_loss(model, params, batch, *, mesh: Mesh,
 
     def tail(m, hh):
         hn = m.language_model.model.norm(hh)
+        if getattr(m, "ce_loss_chunk", 0):
+            # chunked CE computes the loss straight from hidden states
+            # in compute_losses — don't materialize dense logits here
+            return None, hn
         return m.language_model._logits(hn), hn
 
     logits, last_hidden = model.apply(params, h, method=tail)

@@ -42,5 +42,7 @@ def build_logger(logger_name: str, logger_filename: str,
 def pretty_print_semaphore(semaphore) -> str:
     if semaphore is None:
         return "None"
-    return (f"Semaphore(value={semaphore._value}, "
-            f"locked={semaphore.locked()})")
+    # _value is CPython's internal counter (no public accessor on
+    # asyncio.Semaphore); fall back gracefully if it ever disappears
+    value = getattr(semaphore, "_value", "?")
+    return f"Semaphore(value={value}, locked={semaphore.locked()})"

@@ -64,6 +64,10 @@ class TrainArgs:
     warmup_steps: int = 500
     min_lr_ratio: float = 0.05
     mu_dtype: str = "bfloat16"    # bf16 adam moments: +6pt MFU measured
+    # chunked (fused-linear) CE: LM loss computed from hidden states in
+    # sequence chunks, never materializing [B, S, V] logits — the
+    # dominant activation at 128k vocab. 0 = dense loss.
+    ce_loss_chunk: int = 0
     # mesh (replaces deepspeed/fsdp plugin args, train.py:54-55)
     mesh_data: int = -1
     mesh_fsdp: int = 1
@@ -142,6 +146,8 @@ def main(argv=None):
     bundle = instantiate(model_cfg["mllm"]["mllm_model"],
                          language_model=llm_bundle)
     model = bundle.module
+    if args.ce_loss_chunk:
+        model = model.clone(ce_loss_chunk=args.ce_loss_chunk)
 
     # ---- data -------------------------------------------------------------
     processor = instantiate(model_cfg["mllm"]["processor"]) \

@@ -143,3 +143,32 @@ def test_pack_samples_collate():
     # image masks follow row-major order
     assert int(batch["embeds_cmp_mask"].sum()) == 2
     assert int(batch["ids_cmp_mask"][0].sum()) == 4
+
+
+def test_chunked_ce_matches_dense_loss_and_grads():
+    """ce_loss_chunk (fused-linear CE, llama.chunked_causal_lm_loss)
+    must reproduce the dense-logits loss AND grads bit-for-bit up to
+    reduction order — on the SEED assembly so the rec-loss composition
+    is covered too. Also: init under ce_loss_chunk still creates the
+    lm_head params (identical tree structure)."""
+    spec = TinySpec(batch=2, seq=96)
+    model, _, _ = build_tiny_mllm(spec, seed=True)
+    batch = synthetic_batch(spec, cmp_images=1, gen_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    cmodel = model.clone(ce_loss_chunk=32)   # S-1=95 pads to 96: 3 chunks
+
+    def loss(m, p):
+        return m.apply(p, **batch)["total_loss"]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(cmodel, p))(params)
+    assert abs(float(l0) - float(l1)) < 1e-4 * max(1.0, abs(float(l0)))
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() <= 5e-3 * (np.abs(a).max() + 1e-8)
+
+    p2 = jax.eval_shape(lambda: cmodel.init(jax.random.PRNGKey(0), **batch))
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))
