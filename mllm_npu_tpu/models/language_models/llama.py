@@ -21,11 +21,13 @@ CE loss:1552-1562; llama2.py me_attn:80), rebuilt TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mllm_npu_tpu import ops
 from mllm_npu_tpu.constant import IGNORE_INDEX
@@ -190,6 +192,63 @@ def packed_positions(segment_ids: jax.Array) -> jax.Array:
     start_idx = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, idx, 0), axis=1)
     return idx - start_idx
+
+
+_EMBED_GRAD_VOCAB_CHUNK = 16384
+
+
+@functools.lru_cache(maxsize=None)
+def _embedding_lookup_for(V: int, tdtype: str):
+    @jax.custom_vjp
+    def lookup(table, ids):
+        return jnp.take(table, ids, axis=0)
+
+    def fwd(table, ids):
+        return jnp.take(table, ids, axis=0), ids
+
+    def bwd(ids, g):
+        chunk = _EMBED_GRAD_VOCAB_CHUNK
+        starts = [0] if V <= 2 * chunk else list(range(0, V, chunk))
+        # bf16 cotangents: DEFAULT precision is already exact (the lhs
+        # is 0/1, products reproduce g bit-for-bit, the MXU accumulates
+        # f32). f32 cotangents (CPU tests, f32 dryruns) need HIGHEST or
+        # the inputs get rounded to bf16 before the dot.
+        prec = (jax.lax.Precision.HIGHEST if g.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        parts = []
+        for v0 in starts:
+            n = V if len(starts) == 1 else min(chunk, V - v0)
+            iota = v0 + jax.lax.iota(jnp.int32, n)
+            onehot = (ids[..., None] == iota).astype(g.dtype)
+            parts.append(jnp.einsum(
+                "...v,...d->vd", onehot, g, precision=prec,
+                preferred_element_type=jnp.float32))
+        dtable = parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=0)
+        zero_ids = np.zeros(ids.shape, jax.dtypes.float0)
+        return dtable.astype(tdtype), zero_ids
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """``table[ids]`` with a GSPMD-friendly backward.
+
+    The default ``take`` VJP is a scatter-add into the [V, D] table; with
+    the table sharded P(tensor, fsdp) and the [B, S, D] cotangent
+    batch-sharded over (data, fsdp), GSPMD cannot move the fsdp axis from
+    the batch dim to D efficiently and falls back to replicating the full
+    activation cotangent ("[SPMD] Involuntary full rematerialization",
+    MULTICHIP_r02). Here the backward is a one-hot einsum instead —
+    contractions over batch-sharded operands partition natively into
+    local partial [V, D] sums + a reduce over the batch axes — chunked
+    over the vocab so the one-hot transient never exceeds
+    [B, S, _EMBED_GRAD_VOCAB_CHUNK] (the same reasoning as maxtext's
+    iota-embed: on TPU, matmul beats gather/scatter for embeddings).
+    """
+    return _embedding_lookup_for(table.shape[0],
+                                 jnp.dtype(table.dtype).name)(table, ids)
 
 
 def _write_decode_column(cache: jax.Array, col: jax.Array, pos) -> jax.Array:
@@ -414,7 +473,10 @@ class LlamaModel(nn.Module):
         self.norm = RMSNorm(cfg.rms_norm_eps, self.param_dtype, name="norm")
 
     def embed(self, input_ids):
-        return self.embed_tokens(input_ids)
+        # custom-VJP lookup (table cast first, matching nn.Embed's
+        # promote-then-take numerics) — see embedding_lookup
+        return embedding_lookup(
+            self.embed_tokens.embedding.astype(self.dtype), input_ids)
 
     @nn.compact
     def _layers(self, h, positions, cache_k, cache_v, cache_pos,
@@ -498,7 +560,7 @@ class LlamaModel(nn.Module):
                  prefill=False, block_kv=None, block_mask=None):
         assert (input_ids is None) != (inputs_embeds is None)
         h = inputs_embeds if inputs_embeds is not None else \
-            self.embed_tokens(input_ids)
+            self.embed(input_ids)
         h = h.astype(self.dtype)
         B, S = h.shape[:2]
         cache_pos = None
@@ -578,7 +640,7 @@ class LlamaForCausalLM(nn.Module):
                     param_dtype=self.param_dtype, name="lm_head")
 
     def embed(self, input_ids):
-        return self.model.embed_tokens(input_ids)
+        return self.model.embed(input_ids)
 
     def _logits(self, h):
         if self.config.tie_word_embeddings:

@@ -41,12 +41,20 @@ from mllm_npu_tpu.models.language_models.llama import (causal_lm_loss,
 from mllm_npu_tpu.ops import SegmentIds
 
 
+def _safe_unit(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """x / ||x|| with a gradient that is finite at x == 0 (padded image
+    slots are exact zeros; x/(||x||+eps) has d||x||/dx = x/||x|| = 0/0
+    there, and the 0 weight multiplies the NaN instead of masking it)."""
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True)
+                             + eps * eps)
+
+
 def cosine_loss(rec: jax.Array, target: jax.Array,
                 weights: Optional[jax.Array] = None) -> jax.Array:
     """1 - cosine similarity, meaned (reference mllm.py:11-15); optional
     per-image weights for masking padded image slots."""
-    target = target / (jnp.linalg.norm(target, axis=-1, keepdims=True) + 1e-8)
-    rec = rec / (jnp.linalg.norm(rec, axis=-1, keepdims=True) + 1e-8)
+    target = _safe_unit(target)
+    rec = _safe_unit(rec)
     per = 1.0 - jnp.sum(target * rec, axis=-1)   # [N, nq]
     if weights is None:
         return per.mean()
@@ -67,9 +75,32 @@ def mse_loss(rec: jax.Array, target: jax.Array,
 
 def compact_selected(x: jax.Array, sel: jax.Array) -> jax.Array:
     """Move rows with sel=True to the front, preserving order (static
-    shape replacement for ``x[sel]``)."""
-    order = jnp.argsort(jnp.logical_not(sel), stable=True)
-    return jnp.take(x, order, axis=0)
+    shape replacement for ``x[sel]``); trailing rows are zeros.
+
+    Sharding-preserving: an exclusive cumsum over the (small) leading
+    axis plus a scatter-add — no argsort, no data-dependent gather from
+    a sharded source, so GSPMD keeps the leading axis sharded and
+    resolves the scatter with one all-reduce over a small buffer.
+    """
+    n = x.shape[0]
+    m = sel.astype(jnp.int32)
+    dest = jnp.cumsum(m) - m                      # exclusive cumsum [n]
+    dest = jnp.where(sel, dest, n)                # unselected → dropped
+    keep = sel.reshape((n,) + (1,) * (x.ndim - 1))
+    updates = jnp.where(keep, x, jnp.zeros_like(x))
+    return jnp.zeros_like(x).at[dest].add(updates, mode="drop")
+
+
+def _row_major_slots(ids_mask: jax.Array) -> jax.Array:
+    """[B, S] bool → [B, S] int32: the row-major ordinal of each True
+    position (value undefined where False). Per-row cumsum + a [B]
+    row-offset cumsum — keeps B (and S, under sequence parallelism)
+    sharded, unlike a cumsum over the flattened B·S axis."""
+    m = ids_mask.astype(jnp.int32)
+    within = jnp.cumsum(m, axis=1) - m            # exclusive, per row
+    counts = m.sum(axis=1)                        # [B]
+    row_off = jnp.cumsum(counts) - counts         # exclusive, tiny
+    return within + row_off[:, None]
 
 
 def scatter_image_embeds(input_embeds: jax.Array,      # [B, S, D]
@@ -79,16 +110,20 @@ def scatter_image_embeds(input_embeds: jax.Array,      # [B, S, D]
     """input_embeds[ids_mask] = image_embeds.reshape(-1, D), statically.
 
     ``ids_mask`` must have exactly (num selected images × nq) True
-    positions in row-major order — the reference's data contract.
+    positions in row-major order — the reference's data contract
+    (mllm_npu/models/mllm.py:135).
+
+    Batch-sharding-preserving: everything stays [B, S, ...] — the only
+    cross-batch op is a [B]-length cumsum and a gather from the (small)
+    image-embed table, which GSPMD resolves by replicating the N·nq·D
+    source rather than the B·S·D activation (the round-2 involuntary
+    full rematerialization, MULTICHIP_r02).
     """
-    B, S, D = input_embeds.shape
+    D = input_embeds.shape[-1]
     flat_src = image_embeds.reshape(-1, D).astype(input_embeds.dtype)
-    mask = ids_mask.reshape(-1)
-    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slot = jnp.clip(slot, 0, flat_src.shape[0] - 1)
-    gathered = jnp.take(flat_src, slot, axis=0)
-    out = jnp.where(mask[:, None], gathered, input_embeds.reshape(-1, D))
-    return out.reshape(B, S, D)
+    slot = jnp.clip(_row_major_slots(ids_mask), 0, flat_src.shape[0] - 1)
+    gathered = jnp.take(flat_src, slot, axis=0)   # [B, S, D]
+    return jnp.where(ids_mask[..., None], gathered, input_embeds)
 
 
 def gather_masked_tokens(hidden: jax.Array,   # [B, S, D]
@@ -96,13 +131,19 @@ def gather_masked_tokens(hidden: jax.Array,   # [B, S, D]
                          capacity: int) -> jax.Array:
     """hidden[ids_mask].reshape(n, -1, D) with a static capacity: returns
     [capacity, D] rows — the first ``ids_mask.sum()`` are the masked
-    tokens in row-major order, the rest are arbitrary (mask downstream).
+    tokens in row-major order, the rest are zeros (mask downstream).
+
+    Scatter-add into a small replicated [capacity, D] buffer (each slot
+    written at most once, so add ≡ set) — keeps the B·S activation
+    sharded; GSPMD emits local scatters + one all-reduce of the buffer.
     """
-    D = hidden.shape[-1]
-    flat = hidden.reshape(-1, D)
-    mask = ids_mask.reshape(-1)
-    idx = jnp.argsort(jnp.logical_not(mask), stable=True)[:capacity]
-    return jnp.take(flat, idx, axis=0)
+    B, S, D = hidden.shape
+    slot = jnp.where(ids_mask, _row_major_slots(ids_mask), capacity)
+    updates = jnp.where(ids_mask[..., None], hidden,
+                        jnp.zeros_like(hidden))
+    out = jnp.zeros((capacity, D), hidden.dtype)
+    return out.at[slot.reshape(-1)].add(updates.reshape(-1, D),
+                                        mode="drop")
 
 
 def _patch_pos_bias(patch_positions: jax.Array, table: jax.Array) -> jax.Array:

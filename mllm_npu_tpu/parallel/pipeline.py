@@ -178,7 +178,7 @@ def pipelined_lm_logits(lm, params, input_ids, *, mesh: Mesh,
     mb = B // n_micro
 
     h = lm.apply(params, input_ids,
-                 method=lambda m, ids: m.model.embed_tokens(ids))
+                 method=lambda m, ids: m.model.embed(ids))
     h = h.astype(lm.dtype)
     if segment_ids is not None:
         from mllm_npu_tpu.models.language_models.llama import \

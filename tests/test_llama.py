@@ -278,3 +278,37 @@ def test_merge_lora_matches_adapter_forward():
     logitsf, _, _ = modelf.apply(pf, ids)
     np.testing.assert_allclose(np.asarray(ref_logits),
                                np.asarray(logitsf), atol=2e-5)
+
+
+def test_embedding_lookup_grad_matches_take():
+    """The custom-VJP embed lookup (one-hot einsum backward — the
+    GSPMD-friendly replacement for take's scatter-add, which forced an
+    involuntary full rematerialization of the activation cotangent on
+    sharded meshes) must be gradient-exact vs jnp.take, on both the
+    single-einsum and the vocab-chunked backward path."""
+    from mllm_npu_tpu.models.language_models import llama
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(37, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 37, size=(3, 5)), jnp.int32)
+    ga = jax.grad(lambda t: jnp.sum(
+        jnp.sin(llama.embedding_lookup(t, ids)) * 1.7))(table)
+    gb = jax.grad(lambda t: jnp.sum(
+        jnp.sin(jnp.take(t, ids, axis=0)) * 1.7))(table)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+    # chunked path (vocab > 2 * chunk), duplicate ids included
+    old = llama._EMBED_GRAD_VOCAB_CHUNK
+    llama._EMBED_GRAD_VOCAB_CHUNK = 16
+    llama._embedding_lookup_for.cache_clear()
+    try:
+        table2 = jnp.asarray(rng.normal(size=(100, 4)), jnp.float32)
+        ids2 = jnp.asarray(rng.integers(0, 100, size=(64,)), jnp.int32)
+        g2 = jax.grad(lambda t: jnp.sum(
+            llama.embedding_lookup(t, ids2) ** 2))(table2)
+        g2r = jax.grad(lambda t: jnp.sum(
+            jnp.take(t, ids2, axis=0) ** 2))(table2)
+        np.testing.assert_array_equal(np.asarray(g2), np.asarray(g2r))
+    finally:
+        llama._EMBED_GRAD_VOCAB_CHUNK = old
+        llama._embedding_lookup_for.cache_clear()
