@@ -17,9 +17,34 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / \
-    "libmllm_native.so"
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libmllm_native.so"
 _lib = None
+_build_attempted = False
+
+
+def _maybe_build() -> None:
+    """Build the library from source once if it isn't present.
+
+    The .so is not checked into git (it's a build artifact); first use
+    compiles it via the Makefile. Failures are logged and the caller
+    falls back to the pure-Python path.
+    """
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    if not (_NATIVE_DIR / "mllm_native.cc").exists():
+        return
+    import subprocess
+    try:
+        proc = subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)], capture_output=True,
+            text=True, timeout=120)
+        if proc.returncode != 0:
+            log.warning("native lib build failed:\n%s", proc.stderr)
+    except (OSError, subprocess.TimeoutExpired) as e:  # noqa: BLE001
+        log.warning("native lib build failed: %s", e)
 
 
 class _TarMember(ctypes.Structure):
@@ -31,6 +56,8 @@ def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not _LIB_PATH.exists():
+        _maybe_build()
     if not _LIB_PATH.exists():
         return None
     try:
