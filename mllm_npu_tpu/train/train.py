@@ -186,6 +186,11 @@ def main(argv=None):
         mu_dtype=args.mu_dtype)
     state = create_train_state(params, opt_cfg)
     del params
+    from mllm_npu_tpu.train.scheduler import get_scheduler
+    lr_schedule = get_scheduler(
+        args.lr_scheduler_type, base_lr=args.learning_rate,
+        warmup_steps=args.warmup_steps, total_steps=args.max_steps,
+        min_lr_ratio=args.min_lr_ratio)
 
     if args.mesh_stage > 1:
         # GPipe pipeline over the `stage` axis: decoder stack under
@@ -236,14 +241,8 @@ def main(argv=None):
     install_sigterm_checkpoint(lambda: (save(int(state.step)), mgr.wait()))
 
     # ---- metrics ----------------------------------------------------------
-    writer = None
-    if jax.process_index() == 0:
-        try:
-            from flax.metrics import tensorboard
-            writer = tensorboard.SummaryWriter(
-                str(Path(args.output_dir) / "tb"))
-        except Exception:  # noqa: BLE001
-            pass
+    from mllm_npu_tpu.train.trackers import build_trackers
+    writer = build_trackers(args.output_dir, vars(args))
 
     # ---- loop -------------------------------------------------------------
     micro = []
@@ -293,6 +292,7 @@ def main(argv=None):
             n_imgs = int(batch["images"].shape[-4]) \
                 if "images" in batch else 0
             msg = {"step": step, "loss": round(loss_v, 4),
+                   "lr": float(lr_schedule(step)),
                    "sec/step": round(dt, 3),
                    "tokens/s": round(tokens / max(dt, 1e-9)),
                    "images/s": round(n_imgs / max(dt, 1e-9), 2)}
@@ -300,15 +300,18 @@ def main(argv=None):
                 msg[k] = round(float(v), 4)
             log.info(json.dumps(msg))
             if writer is not None:
-                writer.scalar("loss", loss_v, step)
-                for k, v in metrics.items():
-                    writer.scalar(k, float(v), step)
+                scalars = {"loss": loss_v, "lr": msg.get("lr", 0.0)} \
+                    if "lr" in msg else {"loss": loss_v}
+                scalars.update({k: float(v) for k, v in metrics.items()})
+                writer.log(scalars, step)
         if step % args.save_steps == 0:
             save(step)
 
     save(step)
     mgr.wait()
     mgr.close()
+    if writer is not None:
+        writer.close()
     log.info("training done at step %d", step)
 
 

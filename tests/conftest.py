@@ -7,6 +7,8 @@ import os
 # force CPU: the ambient env points JAX at the axon TPU tunnel, but the
 # suite must run hermetically on a virtual 8-device CPU mesh
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep build_logger from hijacking sys.stdout/stderr under pytest
+os.environ["MLLM_LOG_REDIRECT"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

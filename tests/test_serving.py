@@ -248,6 +248,60 @@ def test_serve_utils_logger_and_semaphore(tmp_path, monkeypatch):
     assert serve_utils.pretty_print_semaphore(None) == "None"
 
 
+def test_build_logger_captures_stdout_stderr(tmp_path, monkeypatch):
+    """With redirect on, bare print() and stderr writes land in the
+    rotating log file (reference serve_utils.py:22-45 hijack)."""
+    import logging
+    import sys
+
+    from mllm_npu_tpu.serve import serve_utils
+
+    monkeypatch.setattr(serve_utils, "handler", None)
+    monkeypatch.setenv("MLLM_LOG_REDIRECT", "1")
+    old_out, old_err = sys.stdout, sys.stderr
+    try:
+        serve_utils.build_logger("t_logger2", "cap.log",
+                                 log_dir=str(tmp_path))
+        assert isinstance(sys.stdout, serve_utils.StreamToLogger)
+        print("printed-line-for-capture")
+        sys.stderr.write("stderr-line-for-capture\n")
+        sys.stdout.flush()
+        sys.stderr.flush()
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+    serve_utils.handler.flush()
+    text = (tmp_path / "cap.log").read_text()
+    assert "printed-line-for-capture" in text
+    assert "stderr-line-for-capture" in text
+    # the shim keeps the file-like surface real code probes
+    shim = serve_utils.StreamToLogger(logging.getLogger("x"),
+                                      logging.INFO)
+    assert not shim.isatty() and shim.encoding == "utf-8"
+
+
+def test_trackers_jsonl_sink(tmp_path):
+    """Without wandb installed, Trackers records config + a metric
+    history in the offline wandb-shaped JSONL sink (reference
+    train/train.py:284-294 offline tracker)."""
+    import json
+
+    from mllm_npu_tpu.train.trackers import Trackers
+
+    tr = Trackers(str(tmp_path), {"learning_rate": 1e-4,
+                                  "output_dir": tmp_path})
+    tr.log({"loss": 2.5}, step=1)
+    tr.scalar("loss", 2.25, step=2)
+    tr.close()
+    cfg = json.loads((tmp_path / "wandb" / "config.json").read_text())
+    assert cfg["learning_rate"] == 1e-4
+    assert isinstance(cfg["output_dir"], str)  # non-scalars stringified
+    lines = [json.loads(x) for x in
+             (tmp_path / "wandb" / "metrics.jsonl").read_text()
+             .splitlines()]
+    assert [(r["_step"], r["loss"]) for r in lines] == [(1, 2.5),
+                                                        (2, 2.25)]
+
+
 @pytest.mark.slow
 def test_add_special_tokens_tool(tmp_path):
     """The tokenizer-prep CLI adds the <img_*>/<loc-*>/span/box tokens

@@ -111,6 +111,16 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     ckpts = sorted(out_dir.glob("checkpoint_*"))
     assert ckpts, f"no checkpoints in {list(out_dir.iterdir())}"
 
+    # offline tracker sink: config + per-step metric history incl. lr
+    # (reference records a wandb offline tracker next to TB,
+    # train/train.py:284-294)
+    runs = [json.loads(x) for x in
+            (out_dir / "wandb" / "metrics.jsonl").read_text().splitlines()]
+    assert len(runs) == 4 and all("loss" in r and "lr" in r for r in runs)
+    cfg = json.loads((out_dir / "wandb" / "config.json").read_text())
+    assert cfg["learning_rate"] == 1e-3
+    assert (out_dir / "tb").exists()
+
     # resume: runs 2 more steps from step 4
     argv2 = list(argv)
     argv2[argv2.index("--max_steps") + 1] = "6"
