@@ -64,11 +64,16 @@ def mme_eval(model, data_path, out_dir="res_mme", max_items=None):
                     pred = model.generate_with_image(
                         MME_PROMPT.format(question), img_path)
                     pred = strip_special(pred).replace("\n", " ").strip()
-                    lines.append(f"{base}\t{question}\t{gt}\t{pred}")
+                    # reference line format (mme.py:112-121): the IMAGE
+                    # file name (with extension), then the original
+                    # question\tgt pair, then the prediction
+                    img_name = os.path.basename(img_path)
+                    lines.append(f"{img_name}\t{question}\t{gt}\t{pred}")
                     count += 1
-        out_file = Path(out_dir) / f"{task}.txt"
-        out_file.write_text("\n".join(lines) + "\n")
-        results[task] = len(lines)
+        if lines:   # reference writes only non-empty tasks (mme.py:153)
+            out_file = Path(out_dir) / f"{task}.txt"
+            out_file.write_text("\n".join(lines))
+            results[task] = len(lines)
     return results
 
 

@@ -36,12 +36,15 @@ def format_example_df(df, idx, include_answer=True) -> str:
 
 
 def gen_prompt_df(train_df, subject, k=-1, chinese=False) -> str:
+    # exact reference bytes — mmlu.py:30 has "about {}" PLUS
+    # format_subject's leading space (double space); cmmlu.py:30 puts the
+    # subject after the parenthetical
     if chinese:
-        head = ("以下是关于{}的单项选择题（附答案）。\n\n"
+        head = ("以下是关于的多项选择题(含答案) {}.\n\n"
                 .format(format_subject(subject)))
     else:
         head = ("The following are multiple choice questions (with answers)"
-                " about{}.\n\n".format(format_subject(subject)))
+                " about {}.\n\n".format(format_subject(subject)))
     if k == -1:
         k = train_df.shape[0]
     return head + "".join(format_example_df(train_df, i) for i in range(k))
@@ -133,8 +136,9 @@ def ceval_eval(model, data_path, k=5, max_items_per_subject=None,
         few = dev_df[:k]
         cols = [c for c in ("question", "A", "B", "C", "D")
                 if c in test_df.columns]
-        train_prompt = "以下是关于{}的单项选择题（附答案）。\n\n".format(
-            format_subject(subject))
+        # reference ceval.py:30 bytes
+        train_prompt = ("以下是中国关于{}考试的单项选择题，请选出其中的正确"
+                        "答案。\n\n").format(format_subject(subject))
         for i in range(min(k, few.shape[0])):
             train_prompt += str(few.iloc[i]["question"])
             for c in "ABCD":

@@ -64,16 +64,17 @@ class Trackers:
     """
 
     def __init__(self, output_dir: str, config: Mapping[str, Any],
-                 project: str = "mllm_npu_tpu"):
+                 project: str = "mllm_npu_tpu", tb: bool = True):
         out = Path(output_dir)
         self._tb = None
         self._wandb = None
         self._jsonl = None
-        try:
-            from flax.metrics import tensorboard
-            self._tb = tensorboard.SummaryWriter(str(out / "tb"))
-        except Exception as e:  # noqa: BLE001
-            log.warning("tensorboard tracker unavailable: %s", e)
+        if tb:
+            try:
+                from flax.metrics import tensorboard
+                self._tb = tensorboard.SummaryWriter(str(out / "tb"))
+            except Exception as e:  # noqa: BLE001
+                log.warning("tensorboard tracker unavailable: %s", e)
         mode = os.environ.get("WANDB_MODE", "offline")
         if mode != "disabled":
             try:

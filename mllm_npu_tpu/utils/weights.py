@@ -68,8 +68,10 @@ def torch_to_flax_llama(sd: Dict[str, Any], config,
     def linear(key):
         return p(sd[key]).T  # [out,in] -> [in,out]
 
-    def maybe_base(d: dict) -> dict:
-        return {"base": d} if lora else d
+    def maybe_base(d: dict, name: str) -> dict:
+        # LoRADense nests the frozen kernel under 'base'; only modules in
+        # lora_targets are LoRA-wrapped (llama.py _dense_factory)
+        return {"base": d} if lora and name in config.lora_targets else d
 
     def stack(keys_fmt: str, transform):
         return np.stack([transform(keys_fmt.format(i)) for i in range(L)])
@@ -86,15 +88,12 @@ def torch_to_flax_llama(sd: Dict[str, Any], config,
         def lin(name):
             return stack(f"{prefix}layers.{{}}.{name}.weight", linear)
         attn = {
-            "q_proj": maybe_base({"kernel": lin("self_attn.q_proj")}),
-            "k_proj": maybe_base({"kernel": lin("self_attn.k_proj")}),
-            "v_proj": maybe_base({"kernel": lin("self_attn.v_proj")}),
-            "o_proj": maybe_base({"kernel": lin("self_attn.o_proj")}),
+            n: maybe_base({"kernel": lin(f"self_attn.{n}")}, n)
+            for n in ("q_proj", "k_proj", "v_proj", "o_proj")
         }
         mlp = {
-            "gate_proj": maybe_base({"kernel": lin("mlp.gate_proj")}),
-            "up_proj": maybe_base({"kernel": lin("mlp.up_proj")}),
-            "down_proj": maybe_base({"kernel": lin("mlp.down_proj")}),
+            n: maybe_base({"kernel": lin(f"mlp.{n}")}, n)
+            for n in ("gate_proj", "up_proj", "down_proj")
         }
         norms = {
             "input_layernorm": {"weight": stack(
@@ -106,8 +105,18 @@ def torch_to_flax_llama(sd: Dict[str, Any], config,
         return {"self_attn": attn, "mlp": mlp, **norms}
 
     if lora:
-        # add zero-init lora adapters so the tree matches module structure
-        def add_lora(tree, in_dim, out_dim):
+        def add_lora(tree, mod, in_dim, out_dim):
+            """Trained adapters from the checkpoint when present (peft
+            'lora_A.weight' [r,in] / 'lora_B.weight' [out,r], normalized
+            by the callers from '.lora_A.default.weight'); otherwise
+            fresh peft-style init (A he-uniform, B zero)."""
+            a_key = f"{prefix}layers.0.{mod}.lora_A.weight"
+            if a_key in sd:
+                tree["lora_a"] = stack(
+                    f"{prefix}layers.{{}}.{mod}.lora_A.weight", linear)
+                tree["lora_b"] = stack(
+                    f"{prefix}layers.{{}}.{mod}.lora_B.weight", linear)
+                return
             tree["lora_a"] = np.stack([
                 np.random.RandomState(1234 + i).uniform(
                     -1, 1, (in_dim, config.lora_rank)).astype(np.float32)
@@ -123,11 +132,14 @@ def torch_to_flax_llama(sd: Dict[str, Any], config,
         dims = {"q_proj": (hs, H * D), "k_proj": (hs, Hkv * D),
                 "v_proj": (hs, Hkv * D), "o_proj": (H * D, hs)}
         for name, (i_dim, o_dim) in dims.items():
-            add_lora(layers["self_attn"][name], i_dim, o_dim)
+            if name in config.lora_targets:
+                add_lora(layers["self_attn"][name],
+                         f"self_attn.{name}", i_dim, o_dim)
         for name, (i_dim, o_dim) in {
                 "gate_proj": (hs, inter), "up_proj": (hs, inter),
                 "down_proj": (inter, hs)}.items():
-            add_lora(layers["mlp"][name], i_dim, o_dim)
+            if name in config.lora_targets:
+                add_lora(layers["mlp"][name], f"mlp.{name}", i_dim, o_dim)
 
     tree = {
         "model": {
@@ -653,6 +665,36 @@ def torch_to_flax_vae(sd: Dict[str, Any], config) -> dict:
 # full-assembly checkpoints (SEED-X pytorch_model.bin)
 # ---------------------------------------------------------------------------
 
+def normalize_peft_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Peft-wrapped LM state dict → plain HF-Llama naming.
+
+    The published SEED-X ``pytorch_model.bin`` stores the language model
+    through peft (reference peft_models.py:15-99; LoraConfig with
+    modules_to_save, seedx_llama2_13b_qwenvl_vitg.yaml:39-57), so keys
+    look like ``base_model.model.model.layers.0.self_attn.q_proj.
+    {base_layer.weight, lora_A.default.weight, lora_B.default.weight}``
+    and ``...input_layernorm.{modules_to_save.default, original_module}.
+    weight``. Normalization:
+
+    - strip the ``base_model.model.`` wrapper and ``.base_layer.``;
+    - ``.modules_to_save.default.`` → trained copy wins, the untrained
+      ``.original_module.`` duplicate is dropped;
+    - ``.lora_{A,B}.default.`` → ``.lora_{A,B}.`` (the names
+      torch_to_flax_llama loads trained adapters from).
+    """
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if ".original_module." in k:
+            continue  # untrained duplicate of a modules_to_save entry
+        k = k.replace("base_model.model.", "")
+        k = k.replace(".base_layer.", ".")
+        k = k.replace(".modules_to_save.default.", ".")
+        k = k.replace(".lora_A.default.", ".lora_A.")
+        k = k.replace(".lora_B.default.", ".lora_B.")
+        out[k] = v
+    return out
+
+
 def split_assembly_state(sd: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
     """Split a reference assembly state dict (keys like
     'language_model.*', 'vision_encoder.*', 'projector.*',
@@ -677,12 +719,7 @@ def torch_to_flax_assembly(sd: Dict[str, Any], *, lm_config,
     parts = split_assembly_state(sd)
     tree: Dict[str, Any] = {}
     if "language_model" in parts:
-        # peft-wrapped names may carry 'base_model.model.' prefixes
-        lm_sd = {}
-        for k, v in parts["language_model"].items():
-            k = k.replace("base_model.model.", "")
-            k = k.replace(".base_layer.", ".")
-            lm_sd[k] = v
+        lm_sd = normalize_peft_keys(parts["language_model"])
         tree["language_model"] = torch_to_flax_llama(
             lm_sd, lm_config, vocab_size=lm_config.vocab_size)
     if "vision_encoder" in parts and vision_config is not None:

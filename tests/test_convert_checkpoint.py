@@ -54,6 +54,7 @@ def test_engine_builds_from_params_checkpoint(tmp_path):
     assert eng is not None
 
 
+@pytest.mark.slow
 def test_restore_params_sharded_over_mesh(tmp_path):
     """restore_params(mesh=...) restores leaves directly in their TP
     sharded layout (no replicated staging copy)."""

@@ -134,3 +134,72 @@ def test_run_dispatcher_builds_debug_model(monkeypatch, tmp_path):
     # tokenizer comes from a missing path in DEBUG CI — swap in the fake
     from mllm_npu_tpu.utils.testing import FakeTokenizer
     assert model is not None
+
+
+# ---------------------------------------------------------------------------
+# Real-data fixtures (VERDICT r2 #8): checked-in real-format MMLU CSVs +
+# MME task dirs, scripted deterministic model, byte-level expectations.
+# The golden prompt file was produced by the REFERENCE's own
+# gen_prompt/format_example (evaluate/mmlu/mmlu.py:10-35) over the same
+# fixture CSVs, so prompt-template drift is caught at byte level.
+# ---------------------------------------------------------------------------
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def test_mmlu_real_fixture_prompt_and_result_bytes(tmp_path):
+    class Scripted:
+        def __init__(self):
+            self.prompts = []
+
+        def generate_text(self, prompt, max_new_tokens=10):
+            self.prompts.append(prompt)
+            q = prompt.rsplit("\n\n", 1)[1]
+            answers = {
+                "The cyclic subgroup": " A",     # label A → correct
+                "What is the order": " B",       # label B → correct
+                "Compute the product": " C",     # label A → WRONG
+                "How many homomorphisms": " B",  # label B → correct
+            }
+            for start, a in answers.items():
+                if q.startswith(start):
+                    return a
+            raise AssertionError(f"unexpected question: {q[:60]}")
+
+    m = Scripted()
+    out = tmp_path / "result_mmlu.json"
+    res = tb.mmlu_eval(m, str(FIXTURES / "mmlu"), k=5, out_path=str(out))
+
+    golden = (FIXTURES / "mmlu" / "golden_prompt_item0.txt").read_text()
+    assert m.prompts[0] == golden, "5-shot prompt drifted from the " \
+        "reference template (byte mismatch)"
+    assert len(m.prompts) == 4
+    assert res["abstract_algebra"] == 0.75
+    assert json.loads(out.read_text()) == {"abstract_algebra": 0.75,
+                                           "average": 0.75}
+
+
+def test_mme_real_fixture_result_file_bytes(tmp_path):
+    """Both MME directory styles (questions_answers_YN/images split and
+    flat task dir) produce reference-format result lines:
+    '<img file>\\t<question>\\t<gt>\\t<pred>' joined by newlines, no
+    trailing newline, empty tasks skipped (reference mme.py:91-157)."""
+    class Scripted:
+        def generate_with_image(self, prompt, img_path):
+            assert os.path.exists(img_path)
+            if "one dog" in prompt or "outdoor" in prompt:
+                # special tokens + newline must be stripped like the
+                # reference's gen_res (mme.py:85-88)
+                return "Yes<img_00000>\n"
+            return "No [something]"
+
+    out_dir = tmp_path / "res_mme"
+    res = mm.mme_eval(Scripted(), str(FIXTURES / "mme"),
+                      out_dir=str(out_dir))
+    assert res == {"count": 2, "scene": 2}
+    assert (out_dir / "count.txt").read_bytes() == (
+        b"0001.jpg\tIs there one dog in the image?\tYes\tYes\n"
+        b"0001.jpg\tAre there two dogs in the image?\tNo\tNo")
+    assert (out_dir / "scene.txt").read_bytes() == (
+        b"0002.jpg\tIs this an indoor scene?\tNo\tNo\n"
+        b"0002.jpg\tIs this an outdoor scene?\tYes\tYes")

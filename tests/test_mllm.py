@@ -145,6 +145,40 @@ def test_pack_samples_collate():
     assert int(batch["ids_cmp_mask"][0].sum()) == 4
 
 
+def test_chunked_ce_function_matches_dense_fast():
+    """Fast-lane smoke for the fused-linear CE primitive itself: loss +
+    grads (wrt hidden AND head kernel) match the dense-logits path.
+    The full SEED-assembly composition is the slow test below."""
+    from mllm_npu_tpu.models.language_models.llama import (
+        causal_lm_loss, chunked_causal_lm_loss)
+
+    rs = np.random.RandomState(0)
+    B, S, D, V = 2, 24, 16, 64
+    h = jnp.asarray(rs.randn(B, S, D).astype(np.float32))
+    k = jnp.asarray(rs.randn(D, V).astype(np.float32) * 0.1)
+    labels = rs.randint(0, V, (B, S)).astype(np.int32)
+    labels[0, 5:9] = -100
+    labels = jnp.asarray(labels)
+
+    def dense(hk):
+        h_, k_ = hk
+        return causal_lm_loss(h_ @ k_, labels)
+
+    def chunked(hk):
+        h_, k_ = hk
+        return chunked_causal_lm_loss(h_, k_, labels, chunk=8,
+                                      compute_dtype=jnp.float32)
+
+    l0, g0 = jax.value_and_grad(dense)((h, k))
+    l1, g1 = jax.value_and_grad(chunked)((h, k))
+    assert abs(float(l0) - float(l1)) < 1e-5 * max(1.0, abs(float(l0)))
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_chunked_ce_matches_dense_loss_and_grads():
     """ce_loss_chunk (fused-linear CE, llama.chunked_causal_lm_loss)
     must reproduce the dense-logits loss AND grads bit-for-bit up to

@@ -58,6 +58,7 @@ def test_pipeline_four_stages_bubble_schedule():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_grad_parity():
     """Grads of the pipelined loss match the plain stacked forward for
     EVERY param (embed/head outside the shard_map psum over stage; layer
@@ -125,6 +126,7 @@ def test_pipeline_param_specs_stage_on_layer_axis():
     assert "stage" not in str(espec)
 
 
+@pytest.mark.slow
 def test_pipelined_mllm_loss_parity():
     """Full MLLM (vision + scatter + SEED rec loss) with the decoder
     stack pipelined matches model.apply losses exactly."""
@@ -151,6 +153,7 @@ def test_pipelined_mllm_loss_parity():
                 err_msg=k)
 
 
+@pytest.mark.slow
 def test_pipelined_mllm_grad_parity():
     """Grads through the pipelined MLLM loss (incl. vision/projector
     params outside the shard_map) match the plain forward."""

@@ -400,6 +400,7 @@ def _tp_mesh(tensor=2):
                       devices=jax.devices()[:tensor])
 
 
+@pytest.mark.slow
 def test_tp_quant_matmul_column_row_parity():
     """shard_map'd int8/int4 matmuls match the dequantized reference in
     both TP roles (column: W sharded on N, no collective; row: W sharded

@@ -288,7 +288,7 @@ def test_trackers_jsonl_sink(tmp_path):
     from mllm_npu_tpu.train.trackers import Trackers
 
     tr = Trackers(str(tmp_path), {"learning_rate": 1e-4,
-                                  "output_dir": tmp_path})
+                                  "output_dir": tmp_path}, tb=False)
     tr.log({"loss": 2.5}, step=1)
     tr.scalar("loss", 2.25, step=2)
     tr.close()

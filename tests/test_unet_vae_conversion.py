@@ -265,6 +265,7 @@ def test_partial_unet_merge_tuned_subset():
                                       tf(tv.numpy()))
 
 
+@pytest.mark.slow
 def test_partial_unet_merge_full_sd_equals_converter():
     """Merging the FULL synthetic state dict through the per-key
     translator must reproduce torch_to_flax_unet exactly — validates
