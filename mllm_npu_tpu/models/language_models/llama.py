@@ -119,18 +119,39 @@ class LoRADense(nn.Module):
     'base/kernel'; adapters 'lora_a'/'lora_b' (B initialized to zero so the
     wrapped model starts identical to the base). Dropout on the adapter
     input (peft lora_dropout semantics) activates only when a 'dropout'
-    rng is supplied (training); inference stays deterministic."""
+    rng is supplied (training); inference stays deterministic.
+
+    ``quantization`` stores the FROZEN base in int8/int4 (QLoRA-style:
+    the only way an 8B base + trainable adapters fits one 16GB chip);
+    gradients flow through the quantized matmul's custom VJP
+    (ops/quant.py quant_matmul) into the float adapters only."""
     features: int
     rank: int
     alpha: float
     dropout_rate: float = 0.0
+    quantization: str = "none"     # none | int8 | int4
+    quant_group_size: int = 256
+    tp_mode: Any = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="base")(x)
+        if self.quantization == "int8":
+            from mllm_npu_tpu.ops.quant import Int8Dense
+            base = Int8Dense(self.features, dtype=self.dtype,
+                             tp_mode=self.tp_mode, name="base")
+        elif self.quantization == "int4":
+            from mllm_npu_tpu.ops.quant import Int4Dense
+            base = Int4Dense(self.features,
+                             group_size=self.quant_group_size,
+                             dtype=self.dtype, tp_mode=self.tp_mode,
+                             name="base")
+        else:
+            base = nn.Dense(self.features, use_bias=False,
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="base")
+        y = base(x)
         a = self.param("lora_a", nn.initializers.he_uniform(),
                        (x.shape[-1], self.rank), self.param_dtype)
         b = self.param("lora_b", nn.initializers.zeros,
@@ -148,8 +169,13 @@ def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
     """Returns dense(features, name) honoring the LoRA/quant config."""
     def dense(features, name):
         if cfg.lora_rank > 0 and name in cfg.lora_targets:
+            tp_mode = "row" if name in ("o_proj", "down_proj") \
+                else "column"
             return LoRADense(features, cfg.lora_rank, cfg.lora_alpha,
                              dropout_rate=cfg.lora_dropout,
+                             quantization=cfg.quantization,
+                             quant_group_size=cfg.quant_group_size,
+                             tp_mode=tp_mode,
                              dtype=dtype, param_dtype=param_dtype, name=name)
         if cfg.quantization in ("int8", "int4"):
             # TP role per the GSPMD rules table (parallel/sharding.py):
@@ -176,7 +202,10 @@ def lora_frozen_patterns() -> tuple:
     resize-embedding recipe) — matches the reference's modules_to_save
     (configs/models/*.yaml: input_layernorm, post_attention_layernorm,
     norm)."""
-    return (r"/base/kernel$",)
+    # the whole base subtree: float 'kernel', and for quantized bases the
+    # float 'scale'/'scale_g' next to the int 'kernel_q' (the int leaf is
+    # already dtype-frozen; the scales must not drift under weight decay)
+    return (r"/base/",)
 
 
 def packed_positions(segment_ids: jax.Array) -> jax.Array:

@@ -428,6 +428,68 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
     return out[0, :M].reshape(*lead, N)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable dispatch (frozen-quantized-base LoRA training): the
+# Pallas matmuls have no AD rule, so training THROUGH a frozen int8/int4
+# base (the reference's SFT recipe — LoRA on a frozen LLM,
+# peft_models.py:15-99 — at 8B-on-16GB scale) needs a custom VJP.
+# Forward = the normal quantized dispatch (TP shard_map / Pallas / jnp
+# fallback); backward computes ONLY dx = g @ W_deq^T — the weights are
+# frozen integer storage, so no dW is ever needed (and skipping the
+# x^T·g products removes the single largest bwd matmul per layer).
+# ---------------------------------------------------------------------------
+
+def _quant_dispatch(x, values, scale, tp_mode, bits, interpret):
+    if bits == 8:
+        qt = QuantizedTensor(values, scale)
+        y = tp_quant_matmul(x, qt, mode=tp_mode, bits=8,
+                            interpret=interpret)
+        if y is not None:
+            return y
+        if _on_tpu() or interpret:
+            return int8_matmul(x, qt, interpret=interpret)
+        return jnp.dot(x, dequantize_int8(qt, x.dtype))
+    qt = QuantizedTensor4(values, scale)
+    y = tp_quant_matmul(x, qt, mode=tp_mode, bits=4, interpret=interpret)
+    if y is not None:
+        return y
+    if _on_tpu() or interpret:
+        return int4_matmul(x, qt, interpret=interpret)
+    return jnp.dot(x, dequantize_int4(qt, x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def quant_matmul(x, values, scale, tp_mode, bits, interpret=False):
+    """Differentiable x @ W_q for frozen quantized W (int8 per-channel /
+    packed-int4 group scales). See module-level dispatch note above."""
+    return _quant_dispatch(x, values, scale, tp_mode, bits, interpret)
+
+
+def _quant_matmul_fwd(x, values, scale, tp_mode, bits, interpret):
+    return (_quant_dispatch(x, values, scale, tp_mode, bits, interpret),
+            (values, scale))
+
+
+def _quant_matmul_bwd(tp_mode, bits, interpret, res, g):
+    import numpy as _np
+    values, scale = res
+    if bits == 8:
+        w = dequantize_int8(QuantizedTensor(values, scale), g.dtype)
+    else:
+        w = dequantize_int4(QuantizedTensor4(values, scale), g.dtype)
+    # dx = g @ W^T; the dequant convert fuses into the dot's LHS read
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    # frozen storage: float0 cotangent for the integer values, zero for
+    # the (frozen) scales
+    dvals = _np.zeros(values.shape, jax.dtypes.float0)
+    return dx, dvals, jnp.zeros_like(scale)
+
+
+quant_matmul.defvjp(_quant_matmul_fwd, _quant_matmul_bwd)
+
+
 class Int4Dense(nn.Module):
     """No-bias Dense with int4 weight storage + group-wise scales.
 
@@ -454,15 +516,8 @@ class Int4Dense(nn.Module):
                               (K // 2, self.features), jnp.int8)
         scale = self.param("scale_g", nn.initializers.ones,
                            (K // G, self.features), jnp.float32)
-        qt = QuantizedTensor4(kernel_q, scale)
-        y = tp_quant_matmul(x.astype(self.dtype), qt,
-                            mode=self.tp_mode, bits=4)
-        if y is not None:
-            return y
-        if _on_tpu():
-            return int4_matmul(x.astype(self.dtype), qt)
-        return jnp.dot(x.astype(self.dtype),
-                       dequantize_int4(qt, self.dtype))
+        return quant_matmul(x.astype(self.dtype), kernel_q, scale,
+                            self.tp_mode, 4, False)
 
 
 class Int8Dense(nn.Module):
@@ -483,15 +538,8 @@ class Int8Dense(nn.Module):
                               (K, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        qt = QuantizedTensor(kernel_q, scale)
-        y = tp_quant_matmul(x.astype(self.dtype), qt,
-                            mode=self.tp_mode, bits=8)
-        if y is not None:
-            return y
-        if _on_tpu():
-            return int8_matmul(x.astype(self.dtype), qt)
-        return jnp.dot(x.astype(self.dtype),
-                       dequantize_int8(qt, self.dtype))
+        return quant_matmul(x.astype(self.dtype), kernel_q, scale,
+                            self.tp_mode, 8, False)
 
 
 def quantize_dense_params(params, *, skip=("embed",), bits: int = 8,

@@ -64,6 +64,12 @@ class TrainArgs:
     warmup_steps: int = 500
     min_lr_ratio: float = 0.05
     mu_dtype: str = "bfloat16"    # bf16 adam moments: +6pt MFU measured
+    # QLoRA-style SFT: store the FROZEN LoRA base in int8/int4 (the
+    # reference SFT recipe is LoRA on a frozen LLM, peft_models.py:15-99;
+    # quantized storage is what makes the 8B base + adapters fit one
+    # 16GB chip). Requires a LoRA model config ('' | 'int8' | 'int4').
+    quantize_base: str = ""
+    quant_group_size: int = 256
     # chunked (fused-linear) CE: LM loss computed from hidden states in
     # sequence chunks, never materializing [B, S, V] logits — the
     # dominant activation at 128k vocab. 0 = dense loss.
@@ -143,6 +149,35 @@ def main(argv=None):
     model_cfg = load_config(args.model)
     tokenizer = build_tokenizer(args, model_cfg)
     llm_bundle = instantiate(model_cfg["mllm"]["language_model"])
+    if args.quantize_base:
+        # swap the LoRA base denses to int8/int4 storage and quantize the
+        # converted float kernels in place; gradients still reach the
+        # adapters through quant_matmul's custom VJP (ops/quant.py)
+        import dataclasses as _dc
+
+        from mllm_npu_tpu.models.factory import ModelBundle
+        from mllm_npu_tpu.models.language_models.llama import \
+            LlamaForCausalLM
+        from mllm_npu_tpu.utils.weights import quantize_llama_params
+        bits = {"int8": 8, "int4": 4}[args.quantize_base]
+        lm_cfg = _dc.replace(llm_bundle.config,
+                             quantization=args.quantize_base,
+                             quant_group_size=args.quant_group_size)
+        if llm_bundle.params is not None:
+            fparams = llm_bundle.params
+        else:
+            # no converted checkpoint (DEBUG runs): random-init the FLOAT
+            # base and quantize it — Int8/Int4Dense's own init is zeros
+            # (a placeholder for loaded weights), and an all-zero base is
+            # a degenerate model whose lm_head passes no gradient at all
+            fparams = llm_bundle.module.init(
+                jax.random.PRNGKey(7),
+                jnp.zeros((1, 8), jnp.int32))["params"]
+        qparams = quantize_llama_params(fparams, bits=bits,
+                                        group_size=args.quant_group_size)
+        llm_bundle = ModelBundle(
+            module=LlamaForCausalLM(lm_cfg, dtype=llm_bundle.module.dtype),
+            config=lm_cfg, params=qparams, extras=llm_bundle.extras)
     bundle = instantiate(model_cfg["mllm"]["mllm_model"],
                          language_model=llm_bundle)
     model = bundle.module
@@ -178,12 +213,25 @@ def main(argv=None):
         params = init_assembly_params(bundle, example,
                                       jax.random.PRNGKey(42))
     log.info(trainable_params_report(params))
+    # trainable/frozen split, reference peft semantics
+    # (peft_models.py:15-99): with a LoRA LM only the adapters,
+    # modules_to_save layernorms and the resized embeddings train — the
+    # whole base subtree (incl. quantized scales) is frozen. The vision
+    # tower freezes per the model config (mllm.py stop_gradient is the
+    # activation-side half; the optimizer mask keeps its opt state at 0).
+    frozen = []
+    if model_cfg["mllm"]["mllm_model"].get("freeze_vision_encoder", True):
+        frozen.append("vision_encoder")
+    if getattr(llm_bundle.config, "lora_rank", 0) > 0:
+        from mllm_npu_tpu.models.language_models.llama import \
+            lora_frozen_patterns
+        frozen.extend(lora_frozen_patterns())
     opt_cfg = OptimizerConfig(
         lr=args.learning_rate, weight_decay=args.weight_decay,
         max_grad_norm=args.max_grad_norm,
         scheduler=args.lr_scheduler_type, warmup_steps=args.warmup_steps,
         total_steps=args.max_steps, min_lr_ratio=args.min_lr_ratio,
-        mu_dtype=args.mu_dtype)
+        mu_dtype=args.mu_dtype, frozen_patterns=tuple(frozen))
     state = create_train_state(params, opt_cfg)
     del params
     from mllm_npu_tpu.train.scheduler import get_scheduler

@@ -82,7 +82,11 @@ def _path_str(path) -> str:
 def trainable_mask(params: Any, frozen_patterns) -> Any:
     pats = [re.compile(p) for p in frozen_patterns]
 
-    def is_trainable(path, _):
+    def is_trainable(path, leaf):
+        # integer leaves (int8/int4 quantized kernels) are frozen storage
+        # by construction — never route them into the optimizer
+        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            return False
         s = _path_str(path)
         return not any(p.search(s) for p in pats)
 
@@ -144,14 +148,25 @@ def make_train_step(loss_fn: Callable[[Any, Any], tuple],
                 return loss_fn(params, b, rng)
             return loss_fn(params, b)
 
-        if grad_accum == 1:
+        def _vag(params, b):
+            # allow_int: quantized-base (QLoRA-style) trees hold int8
+            # storage leaves; their cotangents come back as float0 (the
+            # quant matmul's custom VJP never computes dW) and are
+            # normalized to integer zeros so the masked optimizer chain
+            # and apply_updates stay dtype-preserving
             (loss, metrics), grads = jax.value_and_grad(
-                single, has_aux=True)(state.params, batch)
+                single, has_aux=True, allow_int=True)(params, b)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: jnp.zeros(p.shape, p.dtype)
+                if g.dtype == jax.dtypes.float0 else g, grads, params)
+            return (loss, metrics), grads
+
+        if grad_accum == 1:
+            (loss, metrics), grads = _vag(state.params, batch)
         else:
             def scan_body(carry, micro):
                 grads_acc, loss_acc, metrics_acc = carry
-                (loss, metrics), grads = jax.value_and_grad(
-                    single, has_aux=True)(state.params, micro)
+                (loss, metrics), grads = _vag(state.params, micro)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 metrics_acc = jax.tree_util.tree_map(
                     jnp.add, metrics_acc, metrics)
@@ -166,12 +181,16 @@ def make_train_step(loss_fn: Callable[[Any, Any], tuple],
             (grads, loss, metrics), _ = jax.lax.scan(
                 scan_body, (g0, jnp.zeros(()), m0), batch)
             scale = 1.0 / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            grads = jax.tree_util.tree_map(
+                lambda g: g * scale
+                if jnp.issubdtype(g.dtype, jnp.floating) else g, grads)
             loss = loss * scale
             metrics = jax.tree_util.tree_map(lambda m: m * scale, metrics)
 
         new_state = state.apply_gradients(grads)
-        gnorm = optax.global_norm(grads)
+        gnorm = optax.global_norm(
+            [g for g in jax.tree_util.tree_leaves(grads)
+             if jnp.issubdtype(g.dtype, jnp.floating)])
         metrics = dict(metrics)
         metrics["grad_norm"] = gnorm
         return new_state, loss, metrics

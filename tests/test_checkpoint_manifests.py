@@ -361,6 +361,7 @@ def test_detokenizer_bin_layout():
         _unet_torch_key_to_flax(k)   # must not raise
 
 
+@pytest.mark.slow
 def test_hf_llama_bin_tolerates_inv_freq_buffers():
     """The published llama2 pytorch_model-*.bin shards include
     rotary_emb.inv_freq buffers (2023-era transformers); the converter

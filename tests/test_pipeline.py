@@ -89,6 +89,7 @@ def test_pipeline_grad_parity():
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_with_data_parallelism():
     """data=2 x stage=2: the built train step runs, loss decreases, and
     layer params/opt-state live stage-sharded at rest."""

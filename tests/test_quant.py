@@ -528,3 +528,145 @@ def test_int4_engine_matches_direct_forward():
         mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
                           devices=jax.devices()[:2])
         assert run(mesh) == direct
+
+
+# ---------------------------------------------------------------------------
+# QLoRA-style training: frozen int8/int4 base + float LoRA adapters
+# (reference SFT recipe peft_models.py:15-99, at 8B-on-one-chip scale)
+# ---------------------------------------------------------------------------
+
+def _lora_cfgs(quantization):
+    import dataclasses
+    from mllm_npu_tpu.models.language_models.llama import LlamaConfig
+    base = LlamaConfig.tiny(vocab_size=256, lora_rank=4,
+                            attention_impl="eager")
+    q = dataclasses.replace(base, quantization=quantization,
+                            quant_group_size=32)
+    return base, q
+
+
+@pytest.mark.parametrize("quantization", ["int8", "int4"])
+def test_lora_quant_base_forward_matches_dequant(quantization):
+    """LoRADense with a quantized frozen base: logits match the float
+    model whose base kernels hold the dequantized weights."""
+    from mllm_npu_tpu.models.language_models.llama import LlamaForCausalLM
+    from mllm_npu_tpu.ops.quant import (dequantize_int4, dequantize_int8,
+                                        QuantizedTensor4)
+    from mllm_npu_tpu.utils.weights import quantize_llama_params
+
+    fcfg, qcfg = _lora_cfgs(quantization)
+    fmodel = LlamaForCausalLM(fcfg, dtype=jnp.float32)
+    qmodel = LlamaForCausalLM(qcfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(0).randint(5, 250, (2, 16)),
+                      jnp.int32)
+    fp = fmodel.init(jax.random.PRNGKey(0), ids)["params"]
+    # nonzero lora_b so the adapter path contributes
+    import flax
+    flat = flax.traverse_util.flatten_dict(fp)
+    for k in flat:
+        if k[-1] == "lora_b":
+            flat[k] = jnp.asarray(np.random.RandomState(1).randn(
+                *flat[k].shape).astype(np.float32) * 0.05)
+    fp = flax.traverse_util.unflatten_dict(flat)
+    bits = 8 if quantization == "int8" else 4
+    qp = quantize_llama_params(fp, bits=bits, group_size=32)
+
+    # build the float reference with DEQUANTIZED kernels (so both models
+    # see identical effective weights)
+    deq = flax.traverse_util.flatten_dict(qp)
+    out = {}
+    for k, v in deq.items():
+        if k[-1] == "kernel_q":
+            if bits == 8:
+                deq_fn = lambda vv, ss: dequantize_int8(
+                    QuantizedTensor(vv, ss), jnp.float32)
+                s_ = deq[k[:-1] + ("scale",)]
+            else:
+                deq_fn = lambda vv, ss: dequantize_int4(
+                    QuantizedTensor4(vv, ss), jnp.float32)
+                s_ = deq[k[:-1] + ("scale_g",)]
+            w = jax.vmap(deq_fn)(v, s_) if v.ndim == 3 else deq_fn(v, s_)
+            out[k[:-1] + ("kernel",)] = w
+        elif k[-1] in ("scale", "scale_g"):
+            continue
+        else:
+            out[k] = v
+    fp_deq = flax.traverse_util.unflatten_dict(out)
+
+    ql, _, _ = qmodel.apply({"params": qp}, ids)
+    fl, _, _ = fmodel.apply({"params": fp_deq}, ids)
+    np.testing.assert_allclose(np.asarray(ql), np.asarray(fl),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_lora_int8_train_step_trains_only_adapters():
+    """End-to-end QLoRA train step on the dp2×fsdp2×tp2 mesh: gradients
+    flow through the quantized matmul's custom VJP into the adapters;
+    int storage + frozen base kernels stay bit-identical; optimizer
+    state is allocated for trainable leaves only."""
+    import flax
+    from mllm_npu_tpu.models.language_models.llama import (
+        LlamaForCausalLM, lora_frozen_patterns)
+    from mllm_npu_tpu.parallel import MeshConfig, build_mesh
+    from mllm_npu_tpu.train.train_state import (OptimizerConfig,
+                                                compile_train_step,
+                                                create_train_state,
+                                                make_train_step,
+                                                shard_train_state)
+    from mllm_npu_tpu.utils.weights import quantize_llama_params
+
+    fcfg, qcfg = _lora_cfgs("int8")
+    fmodel = LlamaForCausalLM(fcfg, dtype=jnp.float32)
+    qmodel = LlamaForCausalLM(qcfg, dtype=jnp.float32)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(5, 250, (8, 16)), jnp.int32)
+    fp = fmodel.init(jax.random.PRNGKey(0), ids)["params"]
+    qp = {"params": quantize_llama_params(fp, bits=8)}
+
+    from mllm_npu_tpu.models.language_models.llama import causal_lm_loss
+
+    def loss_fn(params, batch):
+        logits, _, _ = qmodel.apply(params, batch["ids"])
+        return causal_lm_loss(logits, batch["ids"]), {}
+
+    opt_cfg = OptimizerConfig(
+        lr=1e-2, warmup_steps=0, total_steps=10,
+        frozen_patterns=lora_frozen_patterns() + ("embed_tokens",
+                                                  "lm_head"))
+    state = create_train_state(qp, opt_cfg)
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    batch = {"ids": ids}
+    step = make_train_step(loss_fn)
+    jitted, state_sharding, batch_shardings = compile_train_step(
+        step, state, batch, mesh)
+    state = shard_train_state(state, state_sharding)
+    batch = jax.tree_util.tree_map(jax.device_put, batch, batch_shardings)
+
+    before = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, state.params["params"]))
+    new_state, loss, metrics = jitted(state, batch)
+    assert np.isfinite(float(loss))
+    after = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, new_state.params["params"]))
+
+    changed = {"/".join(k) for k in after
+               if not np.array_equal(before[k], after[k])}
+    lora_keys = {"/".join(k) for k in after if k[-1] in ("lora_a",
+                                                         "lora_b")}
+    # every adapter updated; nothing else moved
+    assert lora_keys and lora_keys <= changed, \
+        sorted(lora_keys - changed)[:4]
+    frozen_moved = {c for c in changed
+                    if "lora_a" not in c and "lora_b" not in c
+                    and "norm" not in c}
+    assert not frozen_moved, sorted(frozen_moved)[:6]
+
+    # optimizer moments exist only for trainable leaves
+    mus = [x for x in jax.tree_util.tree_leaves(new_state.opt_state)
+           if hasattr(x, "shape")]
+    n_params = sum(int(np.prod(v.shape)) for v in after.values())
+    n_trainable = sum(int(np.prod(v.shape)) for k, v in after.items()
+                      if k[-1] in ("lora_a", "lora_b") or "norm" in
+                      "/".join(k))
+    n_mu = sum(int(np.prod(x.shape)) for x in mus)
+    assert n_mu < 3 * n_trainable + 1000, (n_mu, n_trainable, n_params)

@@ -162,6 +162,7 @@ def test_batched_engine_serving_concurrent():
         batched.comprehension("x " * 200, img)
 
 
+@pytest.mark.slow
 def test_worker_text_only_comprehension():
     """A request without an image (null or absent key) is text-only
     chat: no vision tower run, error_code 0. This is the path the

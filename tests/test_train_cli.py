@@ -175,3 +175,58 @@ def test_train_cli_pipeline_stage(tmp_path, monkeypatch):
         "--fake_tokenizer",
     ])
     assert sorted(out_dir.glob("checkpoint_*"))
+
+
+@pytest.mark.slow
+def test_train_cli_qlora_int8(tmp_path, monkeypatch):
+    """--quantize_base int8: the SFT recipe at QLoRA layout — frozen
+    int8 base + float LoRA adapters — trains through the CLI (loss
+    decreases; a zeros int base would sit at exactly ln(vocab)) and the
+    checkpoint stores the base as int8."""
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    _make_caption_tar(tmp_path / "shard-000.tar")
+    proc_json = tmp_path / "proc.json"
+    proc_json.write_text(json.dumps({
+        "size": {"height": 56, "width": 56},
+        "do_normalize": True, "image_mean": [0.5, 0.5, 0.5],
+        "image_std": [0.5, 0.5, 0.5]}))
+    model_yaml = tmp_path / "model.yaml"
+    model_yaml.write_text(MODEL_YAML.format(proc_json=proc_json))
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(DATA_YAML.format(data_dir=tmp_path))
+    out_dir = tmp_path / "out_q"
+
+    main([
+        "--model", str(model_yaml),
+        "--train_dataset", str(data_yaml),
+        "--output_dir", str(out_dir),
+        "--quantize_base", "int8",
+        "--max_steps", "4", "--save_steps", "4", "--log_steps", "1",
+        "--warmup_steps", "0", "--learning_rate", "1e-3",
+        "--fake_tokenizer",
+    ])
+    runs = [json.loads(x) for x in
+            (out_dir / "wandb" / "metrics.jsonl").read_text().splitlines()]
+    losses = [r["loss"] for r in runs]
+    assert losses[-1] < losses[0] - 0.1, losses
+    # vocab 4096: an all-zero quantized base (the Int8Dense placeholder
+    # init) would pin the loss at ln(4096) ≈ 8.3178 forever
+    assert not any(abs(v - np.log(4096)) < 1e-3 for v in losses[1:]), losses
+
+    # checkpointed base weights are int8 storage
+    import orbax.checkpoint as ocp
+    ckpt = sorted(out_dir.glob("checkpoint_*"))[-1]
+    meta = ocp.StandardCheckpointer().metadata(str(ckpt / "state"))
+
+    def walk(t, pre=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                yield from walk(v, pre + "/" + str(k))
+        else:
+            yield pre, t
+
+    flat = dict(walk(dict(meta.item_metadata)))
+    qkeys = [k for k in flat if k.endswith("kernel_q")
+             and k.startswith("/params/")]
+    assert qkeys and all(str(flat[k].dtype) == "int8" for k in qkeys), \
+        sorted(flat)[:10]

@@ -284,6 +284,7 @@ def test_partial_unet_merge_full_sd_equals_converter():
                                       np.asarray(fw[k]), err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_partial_unet_merge_rejects_unknown_and_mismatched():
     import pytest
 
