@@ -45,6 +45,20 @@ def attention_flops_per_token(cfg, seq: int) -> float:
     return cfg.num_hidden_layers * 2 * 2 * cfg.hidden_size * seq / 2
 
 
+def lora_flops_per_token(cfg) -> float:
+    """Forward FLOPs/token of the LoRA adapters (rank-r down+up on every
+    default target: q/k/v/o/gate/up/down)."""
+    h, inter, L, r = (cfg.hidden_size, cfg.intermediate_size,
+                      cfg.num_hidden_layers, cfg.lora_rank)
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+    per_layer = ((h + h)            # q_proj
+                 + (h + hkv) * 2    # k_proj, v_proj
+                 + (h + h)          # o_proj
+                 + (h + inter) * 2  # gate_proj, up_proj
+                 + (inter + h))     # down_proj
+    return L * 2 * r * per_layer
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset",
@@ -58,9 +72,19 @@ def main():
     p.add_argument("--mesh_seq", type=int, default=1,
                    help="Ulysses sequence-parallel mesh axis")
     p.add_argument("--peak", choices=list(PEAK_BF16), default="v5e")
+    p.add_argument("--lora", type=int, default=0, metavar="RANK",
+                   help="LoRA SFT mode (the reference's SFT recipe, "
+                        "peft_models.py:15-99): freeze the decoder base, "
+                        "train adapters of this rank + layernorms + "
+                        "embeddings/head + projector")
+    p.add_argument("--quantize_base", default="none",
+                   choices=["none", "int8", "int4"],
+                   help="QLoRA: store the frozen LoRA base in int8/int4 "
+                        "(required to fit 8B on one 16GB v5e)")
     p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
     p.add_argument("--remat_policy", default="nothing",
-                   choices=["nothing", "dots", "dots_no_batch"])
+                   choices=["nothing", "dots", "dots_no_batch",
+                            "hoist_attn"])
     p.add_argument("--mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--optimizer", default="adamw",
@@ -158,6 +182,13 @@ def main():
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
 
+    if args.lora:
+        import dataclasses as _dc
+        lm_cfg = _dc.replace(
+            lm_cfg, lora_rank=args.lora,
+            quantization=args.quantize_base
+            if args.quantize_base != "none" else lm_cfg.quantization)
+
     pd = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.param_dtype]
     lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16, param_dtype=pd)
     vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16, param_dtype=pd)
@@ -206,9 +237,15 @@ def main():
             params)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
+    frozen = ["vision_encoder"]
+    if args.lora:
+        from mllm_npu_tpu.models.language_models.llama import \
+            lora_frozen_patterns
+        frozen.extend(lora_frozen_patterns())
     state = create_train_state(params, OptimizerConfig(
         lr=1e-4, warmup_steps=0, total_steps=1000,
-        mu_dtype=args.mu_dtype, optimizer=args.optimizer))
+        mu_dtype=args.mu_dtype, optimizer=args.optimizer,
+        frozen_patterns=tuple(frozen)))
     del params
 
     def loss_fn(p, b):
@@ -241,9 +278,21 @@ def main():
 
     n_chips = len(jax.devices())
     tokens = B * S
-    lm_tok_flops = llama_flops_per_token(lm_cfg) \
-        + attention_flops_per_token(lm_cfg, S)
-    step_flops = 3 * lm_tok_flops * tokens        # fwd + bwd
+    if args.lora:
+        # frozen base (QLoRA): base matmuls do fwd + bwd-dx only (no dW)
+        # = 2x fwd cost; attention, the lm head and the adapters still do
+        # the full fwd+bwd (3x). Embedding gather/scatter FLOPs ~ 0.
+        h, V = lm_cfg.hidden_size, lm_cfg.vocab_size
+        base_fwd = llama_flops_per_token(lm_cfg) - 2 * h * V
+        lm_tok_flops = (2 * base_fwd
+                        + 3 * 2 * h * V
+                        + 3 * attention_flops_per_token(lm_cfg, S)
+                        + 3 * lora_flops_per_token(lm_cfg))
+        step_flops = lm_tok_flops * tokens
+    else:
+        lm_tok_flops = llama_flops_per_token(lm_cfg) \
+            + attention_flops_per_token(lm_cfg, S)
+        step_flops = 3 * lm_tok_flops * tokens    # fwd + bwd
     vis_tokens = N * vis_cfg.num_patches
     vis_flops = 2 * (vis_cfg.hidden_size ** 2 * 4
                      + 2 * vis_cfg.hidden_size
@@ -256,6 +305,7 @@ def main():
     print(json.dumps({
         "preset": args.preset,
         "optimizer": args.optimizer,
+        "lora": args.lora, "quantize_base": args.quantize_base,
         "params_m": round(n_params / 1e6, 1),
         "batch": B, "seq": S, "images": N, "chips": n_chips,
         "sec_per_step": round(per_step, 4),

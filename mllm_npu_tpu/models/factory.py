@@ -122,20 +122,26 @@ def _load_hf_dir_or_file(path: str) -> dict:
 
 def build_llama3(pretrained_model_name_or_path=None, vocab_size=None,
                  dtype=jnp.bfloat16, **kw) -> ModelBundle:
-    kw.setdefault("remat", True)
-    kw.setdefault("remat_policy", "dots")
-    cfg = (LlamaConfig.tiny(vocab_size=vocab_size or 1024) if _debug()
-           else LlamaConfig.llama3_8b(**kw))
+    if _debug():
+        # keep DEBUG's no-remat default, but still honor explicit YAML
+        # overrides (remat_policy: hoist_attn etc.) in tiny runs
+        cfg = LlamaConfig.tiny(vocab_size=vocab_size or 1024, **kw)
+    else:
+        kw.setdefault("remat", True)
+        kw.setdefault("remat_policy", "dots")
+        cfg = LlamaConfig.llama3_8b(**kw)
     return _build_llama(cfg, pretrained_model_name_or_path, vocab_size,
                         dtype)
 
 
 def build_llama2(pretrained_model_name_or_path=None, vocab_size=None,
                  dtype=jnp.bfloat16, **kw) -> ModelBundle:
-    kw.setdefault("remat", True)
-    kw.setdefault("remat_policy", "dots")
-    cfg = (LlamaConfig.tiny(vocab_size=vocab_size or 1024) if _debug()
-           else LlamaConfig.llama2_13b(**kw))
+    if _debug():
+        cfg = LlamaConfig.tiny(vocab_size=vocab_size or 1024, **kw)
+    else:
+        kw.setdefault("remat", True)
+        kw.setdefault("remat_policy", "dots")
+        cfg = LlamaConfig.llama2_13b(**kw)
     return _build_llama(cfg, pretrained_model_name_or_path, vocab_size,
                         dtype)
 

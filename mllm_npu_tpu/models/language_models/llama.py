@@ -54,7 +54,10 @@ class LlamaConfig:
     attention_interpret: bool = False
     remat: bool = False
     # remat policy: 'nothing' = full recompute (min memory);
-    # 'dots' = keep matmul outputs (faster bwd, more memory)
+    # 'dots' = keep matmul outputs (faster bwd, more memory);
+    # 'hoist_attn' = checkpoint projections+MLP but keep flash attention
+    # outside the remat region so its custom-VJP residuals are saved
+    # instead of recomputed (saves q/k/v + attn output per layer)
     remat_policy: str = "nothing"
     scan_layers: bool = True
     # LoRA (peft parity — reference: peft_models.py:15-99 + LoraConfig in
@@ -165,9 +168,16 @@ class LoRADense(nn.Module):
         return y + delta * scale
 
 
-def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
-    """Returns dense(features, name) honoring the LoRA/quant config."""
+def _dense_factory(cfg: LlamaConfig, dtype, param_dtype,
+                   setup_mode: bool = False):
+    """Returns dense(features, name) honoring the LoRA/quant config.
+
+    ``setup_mode``: construct without an explicit ``name=`` (flax forbids
+    it inside ``setup``; the attribute the caller assigns to supplies the
+    name instead). ``name`` is still used to pick LoRA targets/TP roles.
+    """
     def dense(features, name):
+        kw = {} if setup_mode else {"name": name}
         if cfg.lora_rank > 0 and name in cfg.lora_targets:
             tp_mode = "row" if name in ("o_proj", "down_proj") \
                 else "column"
@@ -176,7 +186,7 @@ def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
                              quantization=cfg.quantization,
                              quant_group_size=cfg.quant_group_size,
                              tp_mode=tp_mode,
-                             dtype=dtype, param_dtype=param_dtype, name=name)
+                             dtype=dtype, param_dtype=param_dtype, **kw)
         if cfg.quantization in ("int8", "int4"):
             # TP role per the GSPMD rules table (parallel/sharding.py):
             # N-sharded producers are column-parallel, the K-sharded
@@ -186,13 +196,13 @@ def _dense_factory(cfg: LlamaConfig, dtype, param_dtype):
                 else "column"
             if cfg.quantization == "int8":
                 from mllm_npu_tpu.ops.quant import Int8Dense
-                return Int8Dense(features, dtype=dtype, name=name,
-                                 tp_mode=tp_mode)
+                return Int8Dense(features, dtype=dtype,
+                                 tp_mode=tp_mode, **kw)
             from mllm_npu_tpu.ops.quant import Int4Dense
             return Int4Dense(features, group_size=cfg.quant_group_size,
-                             dtype=dtype, name=name, tp_mode=tp_mode)
+                             dtype=dtype, tp_mode=tp_mode, **kw)
         return nn.Dense(features, use_bias=False, dtype=dtype,
-                        param_dtype=param_dtype, name=name)
+                        param_dtype=param_dtype, **kw)
     return dense
 
 
@@ -354,17 +364,31 @@ class LlamaAttention(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
-                 segment_ids=None, attn_mask=None, prefill=False,
-                 block_kv=None, block_mask=None):
+    def setup(self):
+        cfg = self.config
+        H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        dense = _dense_factory(cfg, self.dtype, self.param_dtype,
+                               setup_mode=True)
+        if cfg.fused_projections:
+            self.qkv_proj = dense((H + 2 * Hkv) * D, "qkv_proj")
+        else:
+            self.q_proj = dense(H * D, "q_proj")
+            self.k_proj = dense(Hkv * D, "k_proj")
+            self.v_proj = dense(Hkv * D, "v_proj")
+        self.o_proj = dense(cfg.hidden_size, "o_proj")
+
+    def project_qkv(self, x, positions):
+        """Input-norm'd hidden states → post-RoPE q/k/v. Split out so the
+        hoist_attn remat policy can checkpoint the projections while the
+        flash kernel itself stays outside the remat region (its
+        custom-VJP residuals are then saved, not recomputed)."""
         cfg = self.config
         B, S, _ = x.shape
-        H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-
-        dense = _dense_factory(cfg, self.dtype, self.param_dtype)
+        H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
         if cfg.fused_projections:
-            qkv = dense((H + 2 * Hkv) * D, "qkv_proj")(x)
+            qkv = self.qkv_proj(x)
             if cfg.fused_shards > 1:
                 # interleaved layout: [ts, (q_i | k_i | v_i)] head
                 # groups; shard-local split (LlamaConfig.fused_shards)
@@ -381,9 +405,9 @@ class LlamaAttention(nn.Module):
             k = k.reshape(B, S, Hkv, D)
             v = v.reshape(B, S, Hkv, D)
         else:
-            q = dense(H * D, "q_proj")(x).reshape(B, S, H, D)
-            k = dense(Hkv * D, "k_proj")(x).reshape(B, S, Hkv, D)
-            v = dense(Hkv * D, "v_proj")(x).reshape(B, S, Hkv, D)
+            q = self.q_proj(x).reshape(B, S, H, D)
+            k = self.k_proj(x).reshape(B, S, Hkv, D)
+            v = self.v_proj(x).reshape(B, S, Hkv, D)
 
         cos, sin = rope_cos_sin(
             positions, D, theta=cfg.rope_theta,
@@ -391,6 +415,19 @@ class LlamaAttention(nn.Module):
             scaling_factor=cfg.rope_scaling_factor,
             max_position_embeddings=cfg.max_position_embeddings)
         q, k = apply_rope(q, k, cos, sin)
+        return q, k, v
+
+    def project_out(self, out):
+        """[B, S, H, D] attention output → o_proj'd hidden states."""
+        B, S = out.shape[:2]
+        return self.o_proj(out.reshape(B, S, -1))
+
+    def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
+                 segment_ids=None, attn_mask=None, prefill=False,
+                 block_kv=None, block_mask=None):
+        cfg = self.config
+        B, S, _ = x.shape
+        q, k, v = self.project_qkv(x, positions)
 
         new_cache = None
         if layer_cache is not None and not prefill and S == 1:
@@ -458,9 +495,7 @@ class LlamaAttention(nn.Module):
                 attn_mask=attn_mask, impl=cfg.attention_impl,
                 interpret=cfg.attention_interpret)
 
-        out = out.reshape(B, S, H * D)
-        out = dense(cfg.hidden_size, "o_proj")(out)
-        return out, new_cache
+        return self.project_out(out), new_cache
 
 
 class LlamaDecoderLayer(nn.Module):
@@ -468,24 +503,59 @@ class LlamaDecoderLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.input_layernorm = RMSNorm(cfg.rms_norm_eps, self.param_dtype)
+        self.self_attn = LlamaAttention(cfg, self.dtype, self.param_dtype)
+        self.post_attention_layernorm = RMSNorm(cfg.rms_norm_eps,
+                                                self.param_dtype)
+        self.mlp = LlamaMLP(cfg, self.dtype, self.param_dtype)
+
     def __call__(self, x, *, positions, layer_cache=None, cache_pos=None,
                  segment_ids=None, attn_mask=None, prefill=False,
                  block_kv=None, block_mask=None):
         cfg = self.config
-        attn_out, new_cache = LlamaAttention(
-            cfg, self.dtype, self.param_dtype, name="self_attn")(
-                RMSNorm(cfg.rms_norm_eps, self.param_dtype,
-                        name="input_layernorm")(x),
-                positions=positions, layer_cache=layer_cache,
-                cache_pos=cache_pos, segment_ids=segment_ids,
-                attn_mask=attn_mask, prefill=prefill,
-                block_kv=block_kv, block_mask=block_mask)
+        if (cfg.remat and cfg.remat_policy == "hoist_attn"
+                and layer_cache is None):
+            return self._call_hoist_attn(x, positions, segment_ids,
+                                         attn_mask), None
+        attn_out, new_cache = self.self_attn(
+            self.input_layernorm(x),
+            positions=positions, layer_cache=layer_cache,
+            cache_pos=cache_pos, segment_ids=segment_ids,
+            attn_mask=attn_mask, prefill=prefill,
+            block_kv=block_kv, block_mask=block_mask)
         x = x + attn_out
-        mlp_out = LlamaMLP(cfg, self.dtype, self.param_dtype, name="mlp")(
-            RMSNorm(cfg.rms_norm_eps, self.param_dtype,
-                    name="post_attention_layernorm")(x))
+        mlp_out = self.mlp(self.post_attention_layernorm(x))
         return x + mlp_out, new_cache
+
+    def _call_hoist_attn(self, x, positions, segment_ids, attn_mask):
+        """remat_policy='hoist_attn': checkpoint the projections and the
+        MLP, but keep the flash-attention call OUTSIDE the remat regions.
+        Saving the kernel's output via checkpoint_name does not help —
+        remat treats the custom_vjp atomically and re-runs its forward to
+        rebuild (o, lse) for the backward. Hoisting the call out instead
+        keeps the custom-VJP residuals alive (≈2% of step time recovered
+        at the 2b train shape) at the cost of saving q/k/v + the
+        attention output per layer (~3.5× the per-layer checkpoint)."""
+        cfg = self.config
+
+        def pre(mdl, h, pos):
+            return mdl.self_attn.project_qkv(mdl.input_layernorm(h), pos)
+
+        def post(mdl, h, out):
+            h = h + mdl.self_attn.project_out(out)
+            return h + mdl.mlp(mdl.post_attention_layernorm(h))
+
+        policy = jax.checkpoint_policies.nothing_saveable
+        q, k, v = nn.remat(pre, prevent_cse=False, policy=policy)(
+            self, x, positions)
+        out = ops.multi_head_attention(
+            q, k, v, causal=True, segment_ids=segment_ids,
+            attn_mask=attn_mask, impl=cfg.attention_impl,
+            interpret=cfg.attention_interpret)
+        return nn.remat(post, prevent_cse=False, policy=policy)(
+            self, x, out)
 
 
 class LlamaModel(nn.Module):
@@ -513,7 +583,7 @@ class LlamaModel(nn.Module):
                 block_kv=None, block_mask=None):
         cfg = self.config
         layer_cls = LlamaDecoderLayer
-        if cfg.remat:
+        if cfg.remat and cfg.remat_policy != "hoist_attn":
             policy = {
                 "nothing": jax.checkpoint_policies.nothing_saveable,
                 "dots": jax.checkpoint_policies.checkpoint_dots,
@@ -524,6 +594,9 @@ class LlamaModel(nn.Module):
                 LlamaDecoderLayer, prevent_cse=False,
                 static_argnums=(),
                 policy=policy)
+        # "hoist_attn" remats INSIDE the layer (projections and MLP
+        # checkpointed, flash attention outside the remat region) — see
+        # LlamaDecoderLayer._call_hoist_attn
 
         use_cache = cache_k is not None
 
