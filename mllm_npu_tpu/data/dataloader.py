@@ -109,8 +109,9 @@ class DataLoader:
 
 def _worker_main(pipe_factory, seed, worker_id, num_workers, host_shard,
                  init_state, out_q, stop_evt):
-    """Runs in a forked child: build the pipe with this worker's file
-    shard and stream (batch, state) pairs. NEVER touches JAX (the host
+    """Runs in a worker process (spawn/fork) or thread: build the pipe
+    with this worker's file shard and stream (batch, state) pairs.
+    NEVER touches JAX (the host
     shard is passed in from the parent)."""
     from mllm_npu_tpu.data import streams
     try:
@@ -153,8 +154,12 @@ class MultiProcessDataLoader:
     Default start method is ``spawn`` — forking a process that holds a
     live TPU runtime risks deadlock on copied mutexes. Spawn requires a
     picklable ``pipe_factory`` (the trainer's PipeFactory is; a test
-    closure isn't — unpicklable factories fall back to fork with a
-    warning, which is fine on the CPU backend).
+    closure isn't — unpicklable factories fall back to THREAD workers
+    with a warning: same shard split and batch order, GIL-shared CPU).
+    Forking was the old fallback and is still available by explicit
+    ``mp_context='fork'``, but is never chosen automatically — a fork
+    inside a multi-threaded parent (JAX runtime, orbax writers) can
+    deadlock a training job on copied mutexes rather than fail it.
     """
 
     def __init__(self, pipe_factory: Callable[[int], Any],
@@ -188,14 +193,31 @@ class MultiProcessDataLoader:
         try:
             self._start_ctx(self.mp_context, host_shard)
         except (TypeError, AttributeError, pickle.PicklingError) as e:
-            if self.mp_context == "fork":
+            if self.mp_context in ("fork", "thread"):
                 raise
             log.warning("pipe_factory not picklable (%s) — falling back "
-                        "to fork workers", e)
+                        "to thread workers", e)
             self.shutdown()
-            self._start_ctx("fork", host_shard)
+            self._start_ctx("thread", host_shard)
 
     def _start_ctx(self, ctx_name: str, host_shard) -> None:
+        if ctx_name == "thread":
+            import threading
+            self._stop = threading.Event()
+            self._queues = [queue.Queue(maxsize=self.prefetch)
+                            for _ in range(self.num_workers)]
+            self._procs = []
+            for w in range(self.num_workers):
+                t = threading.Thread(
+                    target=_worker_main,
+                    args=(self.pipe_factory, self.seed, w,
+                          self.num_workers, host_shard,
+                          self._worker_states[w], self._queues[w],
+                          self._stop),
+                    daemon=True)
+                t.start()
+                self._procs.append(t)
+            return
         ctx = mp.get_context(ctx_name)
         self._stop = ctx.Event()
         self._queues = [ctx.Queue(maxsize=self.prefetch)
@@ -216,10 +238,11 @@ class MultiProcessDataLoader:
             self._stop.set()
         for p in self._procs:
             p.join(timeout=5)
-            if p.is_alive():
+            if p.is_alive() and hasattr(p, "terminate"):
                 p.terminate()
         for q_ in self._queues:
-            q_.close()
+            if hasattr(q_, "close"):
+                q_.close()
         self._procs, self._queues, self._stop = [], [], None
 
     def __iter__(self) -> Iterator:
@@ -245,7 +268,7 @@ class MultiProcessDataLoader:
                             break
                         except queue.Empty:
                             pass
-                        code = self._procs[w].exitcode
+                        code = getattr(self._procs[w], "exitcode", None)
                         self.shutdown()
                         raise RuntimeError(
                             f"dataloader worker {w} died (exit code "

@@ -31,6 +31,7 @@ import os
 import random
 import re
 import tarfile
+import threading
 from pathlib import Path
 from typing import Any, Callable, Iterable, Iterator, Optional
 
@@ -96,15 +97,24 @@ def shuffled(iterable: Iterable, buffer_size: int, rng: random.Random
     yield from buf
 
 
-_HOST_SHARD: Optional[tuple[int, int]] = None
-_WORKER_SHARD: tuple[int, int] = (0, 1)
+# Shard overrides live in thread-local storage with a process-wide
+# default: worker PROCESSES (spawn/fork) set them from their main thread
+# (= the process default), while the thread-worker fallback of
+# MultiProcessDataLoader sets them per worker THREAD — module globals
+# alone would make concurrent thread workers stomp each other's shard.
+_SHARD_TLS = threading.local()
+_HOST_SHARD_DEFAULT: Optional[tuple[int, int]] = None
+_WORKER_SHARD_DEFAULT: tuple[int, int] = (0, 1)
 
 
 def set_host_shard(index: Optional[int], count: Optional[int]) -> None:
     """Override the (jax.process_index, jax.process_count) pair — used by
-    dataloader worker processes so they never touch JAX after fork."""
-    global _HOST_SHARD
-    _HOST_SHARD = None if index is None else (int(index), int(count))
+    dataloader workers so they never touch JAX after fork/spawn."""
+    val = None if index is None else (int(index), int(count))
+    _SHARD_TLS.host = val
+    if threading.current_thread() is threading.main_thread():
+        global _HOST_SHARD_DEFAULT
+        _HOST_SHARD_DEFAULT = val
 
 
 def set_worker_shard(index: int, count: int) -> None:
@@ -112,20 +122,31 @@ def set_worker_shard(index: int, count: int) -> None:
     split (the MultiProcessingReadingService equivalent — reference
     data/dataloader.py:7-18 runs worker sharding after distributed
     sharding)."""
-    global _WORKER_SHARD
-    _WORKER_SHARD = (int(index), int(count))
+    val = (int(index), int(count))
+    _SHARD_TLS.worker = val
+    if threading.current_thread() is threading.main_thread():
+        global _WORKER_SHARD_DEFAULT
+        _WORKER_SHARD_DEFAULT = val
+
+
+def _host_shard() -> Optional[tuple[int, int]]:
+    return getattr(_SHARD_TLS, "host", _HOST_SHARD_DEFAULT)
+
+
+def _worker_shard() -> tuple[int, int]:
+    return getattr(_SHARD_TLS, "worker", _WORKER_SHARD_DEFAULT)
 
 
 def shard_for_host(items: list, index: Optional[int] = None,
                    count: Optional[int] = None) -> list:
-    if index is None and _HOST_SHARD is not None:
-        index, count = _HOST_SHARD
+    if index is None and _host_shard() is not None:
+        index, count = _host_shard()
     if index is None:
         import jax
         index = jax.process_index()
         count = jax.process_count()
     items = items[index::count]
-    wi, wc = _WORKER_SHARD
+    wi, wc = _worker_shard()
     return items[wi::wc] if wc > 1 else items
 
 

@@ -314,3 +314,32 @@ def test_state_is_json_safe(tmp_path):
     state = json.loads(json.dumps(pipe.state_dict()))
     pipe2 = _caption_pipe(tmp_path)
     pipe2.load_state_dict(state)   # must not raise
+
+
+def test_unpicklable_factory_falls_back_to_threads(tmp_path):
+    """An unpicklable (closure) factory must fall back to THREAD workers
+    — never fork, which can deadlock a multi-threaded parent — and the
+    thread workers must produce the exact batch sequence of process
+    workers (same disjoint shard split via thread-local shard state,
+    same round-robin)."""
+    _make_jsonl(tmp_path / "a.jsonl", 0)
+    _make_jsonl(tmp_path / "b.jsonl", 100)
+
+    def closure_factory(seed):  # not picklable → spawn start must fail
+        return _text_pipe(tmp_path, seed=seed, cycle_count=1)
+
+    fallback = MultiProcessDataLoader(closure_factory, num_workers=2,
+                                      prefetch=2, mp_context="spawn")
+    try:
+        got = [_batch_fingerprint(b) for b in iter(fallback)]
+    finally:
+        fallback.shutdown()
+    assert got
+
+    ref = MultiProcessDataLoader(closure_factory, num_workers=2,
+                                 prefetch=2, mp_context="fork")
+    try:
+        want = [_batch_fingerprint(b) for b in iter(ref)]
+    finally:
+        ref.shutdown()
+    assert got == want
