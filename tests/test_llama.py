@@ -314,6 +314,7 @@ def test_embedding_lookup_grad_matches_take():
         llama._embedding_lookup_for.cache_clear()
 
 
+@pytest.mark.slow
 def test_hoist_attn_remat_matches_no_remat():
     """remat_policy='hoist_attn' (flash outside the remat region) must be
     gradient-identical to the un-rematted model — same params, same

@@ -33,6 +33,7 @@ def _need(n):
         pytest.skip(f"needs >= {n} devices")
 
 
+@pytest.mark.slow
 def test_pipelined_logits_match_plain_forward():
     _need(2)
     mesh = build_mesh(MeshConfig(data=1, stage=2),

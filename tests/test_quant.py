@@ -545,7 +545,8 @@ def _lora_cfgs(quantization):
     return base, q
 
 
-@pytest.mark.parametrize("quantization", ["int8", "int4"])
+@pytest.mark.parametrize("quantization", [
+    "int8", pytest.param("int4", marks=pytest.mark.slow)])
 def test_lora_quant_base_forward_matches_dequant(quantization):
     """LoRADense with a quantized frozen base: logits match the float
     model whose base kernels hold the dequantized weights."""
@@ -599,6 +600,7 @@ def test_lora_quant_base_forward_matches_dequant(quantization):
                                atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_lora_int8_train_step_trains_only_adapters():
     """End-to-end QLoRA train step on the dp2×fsdp2×tp2 mesh: gradients
     flow through the quantized matmul's custom VJP into the adapters;

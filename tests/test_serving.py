@@ -178,6 +178,7 @@ def test_worker_text_only_comprehension():
         assert isinstance(msg["text"], str)
 
 
+@pytest.mark.slow
 def test_worker_error_contract():
     eng = _tiny_engine()
     w = ModelWorker("http://unused", "http://worker", "id0", "tiny", eng,

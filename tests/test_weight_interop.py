@@ -49,6 +49,7 @@ def test_llama_logit_parity_with_hf():
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_siglip_parity_with_hf():
     from transformers import SiglipVisionConfig, SiglipVisionModel
 
