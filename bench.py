@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 BASELINE_NPU_FUSION_ATTENTION_S = 0.0022245049  # Ascend 910B, fp16
 B, H, S, D = 32, 8, 256, 256
-N_SHORT, N_LONG = 20, 120
+# long loop >> short loop so the slope denominator dwarfs per-call
+# jitter through the axon relay; 15 reps for a stable median
+N_SHORT, N_LONG = 20, 220
+N_REPS = 15
 
 
 def main():
@@ -73,7 +76,7 @@ def main():
             return jnp.sum(out.astype(jnp.float32))
         return run
 
-    def timed(n, reps=7):
+    def timed(n, reps=N_REPS):
         """Per-rep wall times of the n-iteration on-device loop."""
         fn = make(n)
         float(fn(q0))  # compile + warm
