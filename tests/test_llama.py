@@ -62,6 +62,7 @@ def test_cached_decode_matches_full_forward():
         stepped, full_logits[:, prefill - 1:], atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_scan_vs_loop_same_params_structure():
     cfg_loop = LlamaConfig.tiny(attention_impl="eager", scan_layers=False)
     model, params, ids = _init()

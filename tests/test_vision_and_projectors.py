@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
     QwenViTConfig, VisionTransformer, VisionTransformerWithAttnPool)
@@ -40,6 +41,7 @@ def test_qwen_vit_with_pool():
     assert np.abs(np.asarray(out - out2)).max() > 0
 
 
+@pytest.mark.slow
 def test_qwen_vit_tokens_only():
     cfg = QwenViTConfig.tiny()
     model = VisionTransformer(cfg)
