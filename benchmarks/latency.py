@@ -37,6 +37,18 @@ def main():
                         "weight streaming)")
     p.add_argument("--fused", action="store_true",
                    help="fused qkv/gate_up projections")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="also measure prompt-lookup speculative decode "
+                        "(sampler.speculative_decode_loop) with K "
+                        "proposals per verify forward. Weights are "
+                        "random here, so acceptance is ~0: the reported "
+                        "number is the WORST-CASE spec throughput plus "
+                        "the verify-forward/single-step cost ratio "
+                        "(decode is weight-streaming-bound, so a K+1-"
+                        "token verify costs ~a single step; real-weight "
+                        "speedup = avg-accepted+1 per verify, bounded "
+                        "by that ratio)")
+    p.add_argument("--spec_ngram", type=int, default=3)
     args = p.parse_args()
     assert not (args.int8 and args.int4), "pick one of --int8 / --int4"
 
@@ -136,7 +148,8 @@ def main():
             lambda p_: quantize_llama_params(p_, bits=4, group_size=gs),
             quantization="int4")
 
-    max_len = S + args.decode_tokens
+    max_len = S + args.decode_tokens + (
+        args.speculative + 1 if args.speculative else 0)
 
     @jax.jit
     def prefill(params, input_ids, images, embeds_cmp, ids_cmp, ppos):
@@ -209,7 +222,7 @@ def main():
                      - t0)[1])(time.perf_counter())
         for _ in range(10)])
 
-    print(json.dumps({
+    out = {
         "harness_rtt_ms": round(rtt * 1e3, 2),
         "first_token_onhost_ms": round(
             (statistics.median(prefill_times) - rtt) * 1e3, 2),
@@ -220,7 +233,69 @@ def main():
         "first_token_min_ms": round(min(prefill_times) * 1e3, 2),
         "decode_ms_per_token": round(per_tok * 1e3, 3),
         "decode_tokens_per_sec": round(1.0 / per_tok, 1),
-    }))
+    }
+
+    if args.speculative:
+        # Prompt-lookup speculative decode (models/generation/sampler.py
+        # speculative_decode_loop — the path MLLMGenerator takes with
+        # speculative_k > 0). Random weights pin acceptance at ~0, so
+        # this measures the WORST CASE: every verify forward emits one
+        # token. Decode is weight-streaming-bound, so a (K+1)-token
+        # verify costs about one single-token step; with real weights
+        # the speedup is (1 + avg accepted)x the worst-case rate.
+        from mllm_npu_tpu.models.generation.sampler import (
+            SamplingConfig, speculative_decode_loop)
+        k = args.speculative
+
+        def make_spec(n_tokens):
+            scfg = SamplingConfig(max_new_tokens=n_tokens,
+                                  do_sample=False, eos_token_id=-1)
+
+            def step_multi(toks, c):
+                pos_t = c["pos"] + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, k + 1), 1)
+
+                def fwd(m, ids, **kw):
+                    return m.language_model(ids, **kw)
+                logits, h, c = model.apply(params, toks, cache=c,
+                                           positions=pos_t, method=fwd)
+                return logits, h, c
+
+            @jax.jit
+            def run(params_, tok, cache_, ids):
+                tokens, _, _, n_iters = speculative_decode_loop(
+                    step_multi, cache_, tok,
+                    jnp.zeros((1, lm_cfg.hidden_size), jnp.bfloat16),
+                    scfg, ids, k=k, ngram=args.spec_ngram)
+                return tokens, n_iters
+            return run
+
+        def spec_timed(n_tokens):
+            run = make_spec(n_tokens)
+            toks, n_iters = run(params, tok, cache, input_ids)
+            jax.block_until_ready(toks)   # compile + warm
+            best = 1e9
+            for _ in range(max(args.runs // 2, 5)):
+                t0 = time.perf_counter()
+                toks, n_iters = run(params, tok, cache, input_ids)
+                jax.block_until_ready(toks)
+                best = min(best, time.perf_counter() - t0)
+            return best, int(n_iters)
+
+        ns1, ns2 = args.decode_tokens // 4, args.decode_tokens
+        (t_lo, _), (t_hi, iters_hi) = spec_timed(ns1), spec_timed(ns2)
+        per_tok_spec = (t_hi - t_lo) / (ns2 - ns1)
+        out.update({
+            "spec_k": k, "spec_ngram": args.spec_ngram,
+            "spec_verify_iters": iters_hi,
+            "spec_worstcase_ms_per_token": round(per_tok_spec * 1e3, 3),
+            "spec_worstcase_tokens_per_sec": round(1.0 / per_tok_spec, 1),
+            # verify forward (K+1 positions) vs single-token step: the
+            # speculative speedup ceiling at full acceptance
+            "spec_verify_vs_step_cost": round(per_tok_spec / per_tok, 3),
+        })
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

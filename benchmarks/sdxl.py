@@ -1,0 +1,136 @@
+"""SDXL de-tokenizer benchmark at real SDXL-base shapes on TPU.
+
+Times the jitted CFG denoise program (`SDXLAdapter._denoise_fn`) —
+the TPU-native replacement for the reference's 50-step Python diffusion
+loop (reference: mllm_npu/serve/worker.py:88-109 txt2img path; demo
+txt2img) — at the production operating point: 2.6B-param UNet
+(block_out (320,640,1280), transformer layers (1,2,10), cross-attn
+2048), 1024x1024 output (128x128 latents), classifier-free guidance
+(2x batch through the UNet per step), Euler scheduler, VAE decode.
+
+Reported:
+  - per-UNet-CFG-step time, via the slope between two jitted loop
+    lengths (removes compile/dispatch/VAE constants)
+  - end-to-end image latency at --steps_image steps (incl. VAE decode)
+
+Weights are randomly initialized ON DEVICE via a jitted init (values
+don't affect dense-matmul timing); bf16 params + activations.
+
+Usage:
+  python benchmarks/sdxl.py                 # 1024x1024, 30-step image
+  python benchmarks/sdxl.py --size 768
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=1024,
+                   help="output image size (latents = size/8)")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--steps_image", type=int, default=30,
+                   help="denoise steps for the end-to-end latency row")
+    p.add_argument("--slope_steps", type=int, nargs=2, default=(10, 30))
+    p.add_argument("--guidance", type=float, default=7.5)
+    p.add_argument("--reps", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()
+    import jax.numpy as jnp
+
+    from mllm_npu_tpu.models.generation.adapter_modules import SDXLAdapter
+    from mllm_npu_tpu.models.generation.resampler import ResamplerXL
+    from mllm_npu_tpu.models.generation.schedulers import (
+        EulerDiscreteScheduler)
+    from mllm_npu_tpu.models.generation.unet import (UNet2DConditionModel,
+                                                     UNetConfig)
+    from mllm_npu_tpu.models.generation.vae import AutoencoderKL, VAEConfig
+
+    dtype = jnp.bfloat16
+    ucfg = UNetConfig.sdxl_base(sample_size=args.size // 8)
+    vcfg = VAEConfig.sdxl()
+    unet = UNet2DConditionModel(ucfg, dtype=dtype, param_dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype, param_dtype=dtype)
+    res = ResamplerXL(dim=1024, depth=4, dim_head=64, heads=16,
+                      num_queries=64, embedding_dim=4096,
+                      output1_dim=768, output2_dim=1280,
+                      dtype=dtype, param_dtype=dtype)
+
+    B, S = args.batch, ucfg.sample_size
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+
+    t0 = time.time()
+    unet_params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, S, S, ucfg.in_channels), dtype), jnp.ones((1,)),
+        jnp.ones((1, 64, ucfg.cross_attention_dim), dtype),
+        {"text_embeds": jnp.ones((1, pooled_dim), dtype),
+         "time_ids": jnp.ones((1, 6), dtype)})
+    # param shapes are input-size independent (convs); init small
+    vae_params = jax.jit(vae.init)(
+        jax.random.PRNGKey(1), jnp.ones((1, 64, 64, 3), dtype))
+    res_params = jax.jit(res.init)(
+        jax.random.PRNGKey(2), jnp.ones((1, 64, 4096), dtype))
+    n_unet = sum(int(x.size) for x in jax.tree_util.tree_leaves(unet_params))
+    print(f"init done in {time.time()-t0:.1f}s; unet params "
+          f"{n_unet/1e9:.2f}B", file=sys.stderr)
+
+    adapter = SDXLAdapter(unet_module=unet, unet_params=unet_params,
+                          resampler_module=res, resampler_params=res_params)
+    adapter.init_pipe(vae, vae_params, scheduler=EulerDiscreteScheduler())
+
+    key = jax.random.PRNGKey(3)
+    # fp32: the Euler step carries fp32 latents through the fori_loop
+    latents = jax.random.normal(key, (B, S, S, 4), jnp.float32)
+    pe = jax.random.normal(key, (B, 64, 768 + 1280), dtype)
+    pe_neg = jnp.zeros_like(pe)
+    pooled = jax.random.normal(key, (B, 1280), dtype)
+    pooled_neg = jnp.zeros_like(pooled)
+    time_ids = jnp.asarray(
+        [[args.size, args.size, 0, 0, args.size, args.size]] * B,
+        jnp.float32)
+
+    def timed(num_steps):
+        run = adapter._denoise_fn(num_steps, args.size, args.size)
+        out = run(unet_params, vae_params, latents, pe, pe_neg, pooled,
+                  pooled_neg, time_ids, args.guidance)
+        jax.block_until_ready(out)  # compile + warm
+        ts = []
+        for _ in range(args.reps):
+            t1 = time.perf_counter()
+            out = run(unet_params, vae_params, latents, pe, pe_neg,
+                      pooled, pooled_neg, time_ids, args.guidance)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t1)
+        return min(ts), sorted(ts)[len(ts) // 2]
+
+    n_lo, n_hi = args.slope_steps
+    best_lo, med_lo = timed(n_lo)
+    best_hi, med_hi = timed(n_hi)
+    per_step = (med_hi - med_lo) / (n_hi - n_lo)
+    per_step_best = (best_hi - best_lo) / (n_hi - n_lo)
+    best_img, med_img = timed(args.steps_image)
+
+    print(json.dumps({
+        "size": args.size, "batch": B, "guidance": args.guidance,
+        "unet_params_b": round(n_unet / 1e9, 3),
+        "per_unet_cfg_step_ms": round(per_step * 1e3, 2),
+        "per_unet_cfg_step_ms_best": round(per_step_best * 1e3, 2),
+        "image_latency_s": round(med_img, 3),
+        "image_steps": args.steps_image,
+    }))
+
+
+if __name__ == "__main__":
+    main()
