@@ -251,18 +251,22 @@ def main():
             scfg = SamplingConfig(max_new_tokens=n_tokens,
                                   do_sample=False, eos_token_id=-1)
 
-            def step_multi(toks, c):
-                pos_t = c["pos"] + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, k + 1), 1)
-
-                def fwd(m, ids, **kw):
-                    return m.language_model(ids, **kw)
-                logits, h, c = model.apply(params, toks, cache=c,
-                                           positions=pos_t, method=fwd)
-                return logits, h, c
-
             @jax.jit
             def run(params_, tok, cache_, ids):
+                def step_multi(toks, c):
+                    # params_ from run's args — closing over the outer
+                    # `params` would bake 8GB of weights into the
+                    # program as constants
+                    pos_t = c["pos"] + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, k + 1), 1)
+
+                    def fwd(m, ids_, **kw):
+                        return m.language_model(ids_, **kw)
+                    logits, h, c = model.apply(params_, toks, cache=c,
+                                               positions=pos_t,
+                                               method=fwd)
+                    return logits, h, c
+
                 tokens, _, _, n_iters = speculative_decode_loop(
                     step_multi, cache_, tok,
                     jnp.zeros((1, lm_cfg.hidden_size), jnp.bfloat16),
