@@ -40,14 +40,16 @@ def main():
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="also measure prompt-lookup speculative decode "
                         "(sampler.speculative_decode_loop) with K "
-                        "proposals per verify forward. Weights are "
-                        "random here, so acceptance is ~0: the reported "
-                        "number is the WORST-CASE spec throughput plus "
-                        "the verify-forward/single-step cost ratio "
-                        "(decode is weight-streaming-bound, so a K+1-"
-                        "token verify costs ~a single step; real-weight "
-                        "speedup = avg-accepted+1 per verify, bounded "
-                        "by that ratio)")
+                        "proposals per verify forward. Reports the "
+                        "per-verify-forward cost (the hardware fact: "
+                        "decode is weight-streaming-bound, so a K+1-"
+                        "token verify costs ~one single-token step) and "
+                        "this run's tokens/verify (acceptance — "
+                        "workload-dependent; random weights decode "
+                        "degenerately-repetitive text, which prompt-"
+                        "lookup accepts at a high rate, so this harness "
+                        "lands near the BEST case; real speedup = "
+                        "tokens-per-verify x step/verify-cost ratio)")
     p.add_argument("--spec_ngram", type=int, default=3)
     args = p.parse_args()
     assert not (args.int8 and args.int4), "pick one of --int8 / --int4"
@@ -238,11 +240,8 @@ def main():
     if args.speculative:
         # Prompt-lookup speculative decode (models/generation/sampler.py
         # speculative_decode_loop — the path MLLMGenerator takes with
-        # speculative_k > 0). Random weights pin acceptance at ~0, so
-        # this measures the WORST CASE: every verify forward emits one
-        # token. Decode is weight-streaming-bound, so a (K+1)-token
-        # verify costs about one single-token step; with real weights
-        # the speedup is (1 + avg accepted)x the worst-case rate.
+        # speculative_k > 0). See --speculative help for how to read
+        # the numbers.
         from mllm_npu_tpu.models.generation.sampler import (
             SamplingConfig, speculative_decode_loop)
         k = args.speculative
@@ -287,16 +286,22 @@ def main():
             return best, int(n_iters)
 
         ns1, ns2 = args.decode_tokens // 4, args.decode_tokens
-        (t_lo, _), (t_hi, iters_hi) = spec_timed(ns1), spec_timed(ns2)
+        (t_lo, iters_lo), (t_hi, iters_hi) = spec_timed(ns1), \
+            spec_timed(ns2)
         per_tok_spec = (t_hi - t_lo) / (ns2 - ns1)
+        d_iters = max(iters_hi - iters_lo, 1)
+        per_verify = (t_hi - t_lo) / d_iters
         out.update({
             "spec_k": k, "spec_ngram": args.spec_ngram,
             "spec_verify_iters": iters_hi,
-            "spec_worstcase_ms_per_token": round(per_tok_spec * 1e3, 3),
-            "spec_worstcase_tokens_per_sec": round(1.0 / per_tok_spec, 1),
-            # verify forward (K+1 positions) vs single-token step: the
-            # speculative speedup ceiling at full acceptance
-            "spec_verify_vs_step_cost": round(per_tok_spec / per_tok, 3),
+            # this run's acceptance: tokens emitted per verify forward
+            "spec_tokens_per_verify": round((ns2 - ns1) / d_iters, 2),
+            # the hardware fact: a (K+1)-position verify forward vs one
+            # single-token step (≈1 when decode is weight-bound)
+            "spec_verify_ms": round(per_verify * 1e3, 3),
+            "spec_verify_vs_step_cost": round(per_verify / per_tok, 3),
+            "spec_ms_per_token": round(per_tok_spec * 1e3, 3),
+            "spec_tokens_per_sec": round(1.0 / per_tok_spec, 1),
         })
 
     print(json.dumps(out))
