@@ -216,6 +216,8 @@ def load_engine_from_config(model_config_path: str,
                             quantize_int4: bool = False,
                             fuse_projections: bool = False,
                             unroll_layers: bool = False,
+                            speculative_k: int = 0,
+                            speculative_ngram: int = 3,
                             params_checkpoint: str = None):
     """Build the InferenceEngine from a model YAML (the worker-side
     analogue of reference worker.py:65-109's model stack load).
@@ -271,8 +273,14 @@ def load_engine_from_config(model_config_path: str,
         # tensor-parallel + fused: interleave the fused kernels by the
         # tensor-axis size so shard slices hold whole q/k/v head groups
         fuse_shards=tensor_parallel if fuse_projections else 1,
-        unroll_layers=unroll_layers)
+        unroll_layers=unroll_layers,
+        speculative_k=speculative_k,
+        speculative_ngram=speculative_ngram)
     if batched:
+        # prompt-lookup speculation is a B=1 greedy mechanism; the
+        # continuous-batching engine runs its own multi-slot decode
+        assert not speculative_k, \
+            "--speculative-k applies to the single-request engine only"
         from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
         return BatchedInferenceEngine(
             num_slots=num_slots, max_len=max_len,
@@ -352,6 +360,14 @@ def parse_worker_args(argv=None):
                         action=argparse.BooleanOptionalAction,
                         default=False,
                         help="per-layer (non-scan) param layout")
+    parser.add_argument("--speculative-k", type=int, default=0,
+                        help="prompt-lookup speculative decode: verify "
+                             "K n-gram-proposed tokens per forward "
+                             "(greedy B=1 requests; single-request "
+                             "engine only). Measured at 8B int8 on "
+                             "v5e: a (K+1)-position verify costs 1.10x "
+                             "one decode step")
+    parser.add_argument("--speculative-ngram", type=int, default=3)
     parser.add_argument("--params-checkpoint", type=str, default=None,
                         help="orbax params dir from scripts/tools/"
                              "convert_checkpoint.py — fast sharded "
@@ -379,6 +395,8 @@ def parse_worker_args(argv=None):
 
 
 def main():
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()    # JAX_PLATFORMS=cpu must stick for local runs
     args = parse_worker_args()
     build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
     engine = load_engine_from_config(
@@ -394,6 +412,8 @@ def main():
         quantize_int4=args.quantize_int4,
         fuse_projections=args.fuse_projections,
         unroll_layers=args.unroll_layers,
+        speculative_k=args.speculative_k,
+        speculative_ngram=args.speculative_ngram,
         params_checkpoint=args.params_checkpoint)
     if args.batched:
         args.limit_model_concurrency = max(

@@ -122,6 +122,8 @@ def trainable_params_report(params) -> str:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from mllm_npu_tpu.utils.misc import honor_platform_env
+    honor_platform_env()    # JAX_PLATFORMS=cpu must stick for local runs
     args = parse_args(argv)
 
     from mllm_npu_tpu.configs import instantiate, load_config

@@ -70,6 +70,30 @@ def test_engine_comprehension_runs():
 
 
 @pytest.mark.slow
+def test_engine_speculative_matches_plain():
+    """--speculative-k serving path: greedy output must be token-for-
+    token identical to the non-speculative engine (worker.py
+    --speculative-k; generator-level parity in test_generate.py)."""
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, vis_cfg = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    from mllm_npu_tpu.data.processor import ImageProcessor
+    proc = ImageProcessor(height=56, width=56)
+    common = dict(
+        model=model, lm_config=lm_cfg, params=params,
+        tokenizer=FakeTokenizer(), image_transform=proc,
+        resolution_grids=("1x1",), base_resolution=448,
+        num_img_in_tokens=4, num_img_out_tokens=4,
+        max_new_tokens=6, cache_dtype=jnp.float32)
+    img = _img_b64()
+    plain = InferenceEngine(**common).comprehension("describe", img)
+    spec_e = InferenceEngine(speculative_k=4, speculative_ngram=2,
+                             **common)
+    assert spec_e.comprehension("describe", img) == plain
+
+
+@pytest.mark.slow
 def test_worker_and_controller_http():
     eng = _tiny_engine()
 
