@@ -83,8 +83,8 @@ def main():
                         "(required to fit 8B on one 16GB v5e)")
     p.add_argument("--steps", type=int, nargs=2, default=(3, 13))
     p.add_argument("--remat_policy", default="nothing",
-                   choices=["nothing", "dots", "dots_no_batch",
-                            "hoist_attn"])
+                   choices=["nothing", "dots", "dots_lite",
+                            "dots_no_batch", "hoist_attn"])
     p.add_argument("--mu_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--optimizer", default="adamw",

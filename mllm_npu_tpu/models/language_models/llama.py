@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from mllm_npu_tpu import ops
 from mllm_npu_tpu.constant import IGNORE_INDEX
@@ -415,6 +416,13 @@ class LlamaAttention(nn.Module):
             scaling_factor=cfg.rope_scaling_factor,
             max_position_embeddings=cfg.max_position_embeddings)
         q, k = apply_rope(q, k, cos, sin)
+        if cfg.remat and cfg.remat_policy == "dots_lite":
+            # post-RoPE q/k/v are checkpointed (save_only_these_names in
+            # _layers): the bwd replay then skips the qkv matmuls and
+            # feeds the flash kernel's atomic fwd re-run directly
+            q = checkpoint_name(q, "remat_qkv")
+            k = checkpoint_name(k, "remat_qkv")
+            v = checkpoint_name(v, "remat_qkv")
         return q, k, v
 
     def project_out(self, out):
@@ -525,6 +533,11 @@ class LlamaDecoderLayer(nn.Module):
             cache_pos=cache_pos, segment_ids=segment_ids,
             attn_mask=attn_mask, prefill=prefill,
             block_kv=block_kv, block_mask=block_mask)
+        if (cfg.remat and cfg.remat_policy == "dots_lite"
+                and layer_cache is None):
+            # o_proj output saved: the bwd replay of the MLP branch needs
+            # x + attn_out but not the o matmul itself
+            attn_out = checkpoint_name(attn_out, "remat_attn_o")
         x = x + attn_out
         mlp_out = self.mlp(self.post_attention_layernorm(x))
         return x + mlp_out, new_cache
@@ -589,6 +602,15 @@ class LlamaModel(nn.Module):
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "dots_no_batch":
                     jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                # dots minus the wide [B,S,intermediate] gate/up tensors:
+                # save only post-RoPE q/k/v + the o_proj output (~40MB vs
+                # dots' ~188MB per 8B layer at B2 S1024). The bwd replay
+                # recomputes gate/up (the only matmuls whose outputs feed
+                # elementwise bwd) instead of the whole layer — the
+                # middle ground that fits 8B QLoRA on one 16GB v5e where
+                # `dots` OOMs by 2.4GB and `nothing` wastes a full fwd
+                "dots_lite": jax.checkpoint_policies.save_only_these_names(
+                    "remat_qkv", "remat_attn_o"),
             }[cfg.remat_policy]
             layer_cls = nn.remat(
                 LlamaDecoderLayer, prevent_cse=False,

@@ -315,6 +315,41 @@ def test_embedding_lookup_grad_matches_take():
         llama._embedding_lookup_for.cache_clear()
 
 
+def test_dots_lite_remat_matches_no_remat():
+    """remat_policy='dots_lite' (save post-RoPE q/k/v + o_proj output,
+    recompute gate/up) must be gradient-identical to the un-rematted
+    model."""
+    import dataclasses
+
+    base = LlamaConfig.tiny(remat=False)
+    lite = dataclasses.replace(base, remat=True, remat_policy="dots_lite")
+    ids = jnp.asarray(np.random.RandomState(0).randint(2, 100, (2, 32)),
+                      jnp.int32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(2, 100, (2, 32)),
+                         jnp.int32)
+
+    ref = None
+    for cfg in (base, lite):
+        lm = LlamaForCausalLM(cfg, dtype=jnp.float32,
+                              param_dtype=jnp.float32)
+        params = lm.init(jax.random.PRNGKey(0), ids)
+
+        def loss_fn(p):
+            logits = lm.apply(p, ids)[0]
+            oh = jax.nn.one_hot(labels, cfg.vocab_size)
+            return -jnp.mean(jnp.sum(oh * jax.nn.log_softmax(logits), -1))
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        if ref is None:
+            ref = (loss, grads)
+        else:
+            assert abs(float(loss - ref[0])) < 1e-6
+            for a, b in zip(jax.tree_util.tree_leaves(grads),
+                            jax.tree_util.tree_leaves(ref[1])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-7)
+
+
 @pytest.mark.slow
 def test_hoist_attn_remat_matches_no_remat():
     """remat_policy='hoist_attn' (flash outside the remat region) must be
