@@ -30,6 +30,66 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def unet_forward_flops(cfg, latent: int) -> float:
+    """Analytic matmul/conv FLOPs of one UNet forward at `latent`×`latent`
+    (batch 1). Mirrors UNet2DConditionModel.__call__'s block structure;
+    norms/activations/time-MLPs (per-sample, not per-pixel) are omitted
+    — they are <0.1% of the total."""
+    conv = lambda hw, cin, cout, k=3: 2.0 * hw * hw * k * k * cin * cout
+
+    def resnet(hw, cin, cout):
+        f = conv(hw, cin, cout) + conv(hw, cout, cout)
+        if cin != cout:
+            f += conv(hw, cin, cout, k=1)
+        return f
+
+    def t2d(hw, ch, layers, ctx_len=64):
+        s = hw * hw
+        f = 2 * 2.0 * s * ch * ch               # proj_in + proj_out
+        per = (4 * 2.0 * s * ch * ch            # attn1 q/k/v/out
+               + 2 * 2.0 * s * s * ch           # attn1 QK^T + PV
+               + 2 * 2.0 * s * ch * ch          # attn2 q + out
+               + 2 * 2.0 * ctx_len * cfg.cross_attention_dim * ch  # k,v
+               + 2 * 2.0 * s * ctx_len * ch     # attn2 QK^T + PV
+               + 2.0 * s * ch * (8 * ch)        # GEGLU proj (C -> 8C)
+               + 2.0 * s * (4 * ch) * ch)       # GEGLU out
+        return f + layers * per
+
+    chans = cfg.block_out_channels
+    types = cfg.down_block_types
+    tlpb = cfg.transformer_layers_per_block
+    n = len(chans)
+    total = conv(latent, cfg.in_channels, chans[0])
+    hw, h_ch = latent, chans[0]
+    skips = [(hw, chans[0])]
+    for bi in range(n):
+        ch = chans[bi]
+        for _ in range(cfg.layers_per_block):
+            total += resnet(hw, h_ch, ch)
+            h_ch = ch
+            if types[bi] == "CrossAttnDownBlock2D":
+                total += t2d(hw, ch, tlpb[bi])
+            skips.append((hw, ch))
+        if bi < n - 1:
+            hw //= 2
+            total += conv(hw, ch, ch)
+            skips.append((hw, ch))
+    total += 2 * resnet(hw, chans[-1], chans[-1]) \
+        + t2d(hw, chans[-1], tlpb[-1])
+    for bi, (btype, ch) in enumerate(zip(reversed(types), reversed(chans))):
+        for _ in range(cfg.layers_per_block + 1):
+            s_hw, s_ch = skips.pop()
+            total += resnet(hw, h_ch + s_ch, ch)
+            h_ch = ch
+            if btype == "CrossAttnDownBlock2D":
+                total += t2d(hw, ch, tlpb[n - 1 - bi])
+        if bi < n - 1:
+            hw *= 2
+            total += conv(hw, ch, ch)
+    total += conv(latent, chans[0], cfg.out_channels)
+    return total
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024,
@@ -40,6 +100,13 @@ def main():
     p.add_argument("--slope_steps", type=int, nargs=2, default=(10, 30))
     p.add_argument("--guidance", type=float, default=7.5)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--attn", choices=["auto", "eager", "flash"],
+                   default="auto",
+                   help="UNet attention dispatch (A/B the Pallas flash "
+                        "self-attention vs the eager jnp path)")
+    p.add_argument("--peak_tflops", type=float, default=197.0,
+                   help="per-chip bf16 peak (v5e 197, v5p 459) for the "
+                        "%%-of-peak column")
     args = p.parse_args()
 
     import jax
@@ -57,7 +124,8 @@ def main():
     from mllm_npu_tpu.models.generation.vae import AutoencoderKL, VAEConfig
 
     dtype = jnp.bfloat16
-    ucfg = UNetConfig.sdxl_base(sample_size=args.size // 8)
+    ucfg = UNetConfig.sdxl_base(sample_size=args.size // 8,
+                                attention_impl=args.attn)
     vcfg = VAEConfig.sdxl()
     unet = UNet2DConditionModel(ucfg, dtype=dtype, param_dtype=dtype)
     vae = AutoencoderKL(vcfg, dtype=dtype, param_dtype=dtype)
@@ -122,11 +190,20 @@ def main():
     per_step_best = (best_hi - best_lo) / (n_hi - n_lo)
     best_img, med_img = timed(args.steps_image)
 
+    # efficiency denominator (VERDICT r3 weak #1): model FLOPs per CFG
+    # step = 2x batch through the UNet; achieved TF/s vs chip peak
+    step_flops = 2 * B * unet_forward_flops(ucfg, S)
+    tflops = step_flops / per_step / 1e12
+
     print(json.dumps({
         "size": args.size, "batch": B, "guidance": args.guidance,
+        "attn": args.attn,
         "unet_params_b": round(n_unet / 1e9, 3),
         "per_unet_cfg_step_ms": round(per_step * 1e3, 2),
         "per_unet_cfg_step_ms_best": round(per_step_best * 1e3, 2),
+        "model_tflops_per_cfg_step": round(step_flops / 1e12, 2),
+        "achieved_tflops_per_sec": round(tflops, 1),
+        "pct_of_peak": round(100 * tflops / args.peak_tflops, 1),
         "image_latency_s": round(med_img, 3),
         "image_steps": args.steps_image,
     }))

@@ -46,6 +46,10 @@ class UNetConfig:
     projection_class_embeddings_input_dim: int = 2816
     norm_num_groups: int = 32
     remat: bool = True
+    # attention dispatch: "auto" routes the big self-attention levels
+    # through the padded Pallas flash kernel on TPU (benchmarks/sdxl.py
+    # measures the win); "eager" forces the jnp path (A/B baseline)
+    attention_impl: str = "auto"
     # LoRA on cross-attention projections (reference
     # SDXLText2ImageAndEditAdapter puts rank-16 LoRA on to_q/to_out,
     # adapter_modules.py:427-470)
@@ -184,6 +188,7 @@ class CrossAttention(nn.Module):
     # IP-Adapter decoupled path: last ip_tokens of `context` are image
     # tokens, attended via to_k_ip/to_v_ip and added with `ip_scale`
     ip_tokens: int = 0
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -204,11 +209,17 @@ class CrossAttention(nn.Module):
                             param_dtype=self.param_dtype, name=name)
 
         def attend(q, k, v):
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) \
-                * (self.dim_head ** -0.5)
-            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
-                               ).astype(q.dtype)
-            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+            # ops.multi_head_attention routes the big self-attention
+            # levels (S=4096/1024 at 1024², head dim 64) through the
+            # padded Pallas flash kernel on TPU — the same op-class swap
+            # the reference performs on NPU (reference
+            # mllm_npu/acceleration/npu.py:36-40); the tiny
+            # cross-attention (Sk=64 image tokens) and CPU tests fall
+            # back to the eager path via the auto heuristic
+            from mllm_npu_tpu import ops
+            return ops.multi_head_attention(
+                q, k, v, scale=self.dim_head ** -0.5,
+                impl=self.attention_impl)
 
         B, L, _ = x.shape
         use_ip = self.ip_tokens > 0 and not is_self
@@ -257,6 +268,7 @@ class BasicTransformerBlock(nn.Module):
     lora_rank: int = 0
     lora_targets: tuple = ("to_q", "to_out")
     ip_tokens: int = 0
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -268,6 +280,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
                                lora_rank=self.lora_rank,
                                lora_targets=self.lora_targets,
+                               attention_impl=self.attention_impl,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="attn1")(ln("norm1")(x))
@@ -276,6 +289,7 @@ class BasicTransformerBlock(nn.Module):
                                lora_rank=self.lora_rank,
                                lora_targets=self.lora_targets,
                                ip_tokens=self.ip_tokens,
+                               attention_impl=self.attention_impl,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="attn2")(ln("norm2")(x), context,
@@ -295,6 +309,7 @@ class Transformer2D(nn.Module):
     lora_rank: int = 0
     lora_targets: tuple = ("to_q", "to_out")
     ip_tokens: int = 0
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -314,7 +329,7 @@ class Transformer2D(nn.Module):
             x = BasicTransformerBlock(C, self.heads, dim_head,
                                       self.context_dim,
                                       self.lora_rank, self.lora_targets,
-                                      self.ip_tokens,
+                                      self.ip_tokens, self.attention_impl,
                                       self.dtype, self.param_dtype,
                                       name=f"blocks_{i}")(x, context,
                                                           ip_scale)
@@ -417,6 +432,7 @@ class UNet2DConditionModel(nn.Module):
                                cfg.cross_attention_dim,
                                cfg.norm_num_groups, cfg.lora_rank,
                                cfg.lora_targets, cfg.ip_num_image_tokens,
+                               cfg.attention_impl,
                                self.dtype, self.param_dtype,
                                name=f"down_{bi}_attn_{li}")(h, context,
                                                             ip_scale)
@@ -434,7 +450,7 @@ class UNet2DConditionModel(nn.Module):
                    cfg.transformer_layers_per_block[-1],
                    cfg.cross_attention_dim, cfg.norm_num_groups,
                    cfg.lora_rank, cfg.lora_targets,
-                   cfg.ip_num_image_tokens,
+                   cfg.ip_num_image_tokens, cfg.attention_impl,
                    self.dtype, self.param_dtype, name="mid_attn")(h, context,
                                                                   ip_scale)
         h = res_cls(mid_ch, cfg.norm_num_groups, self.dtype,
@@ -456,7 +472,7 @@ class UNet2DConditionModel(nn.Module):
                         cfg.transformer_layers_per_block[n_blocks - 1 - bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
                         cfg.lora_rank, cfg.lora_targets,
-                        cfg.ip_num_image_tokens,
+                        cfg.ip_num_image_tokens, cfg.attention_impl,
                         self.dtype, self.param_dtype,
                         name=f"up_{bi}_attn_{li}")(h, context, ip_scale)
             if bi < n_blocks - 1:

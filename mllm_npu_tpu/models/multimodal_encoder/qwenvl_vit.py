@@ -41,6 +41,12 @@ class QwenViTConfig:
     # absolute position table entries (256 in the reference,
     # qwenvl_vit.py:238; bicubic-resized to the actual token grid)
     pos_embed_size: int = 256
+    # int8/int4 weight-only storage for the encoder's Dense layers
+    # (conv/LN/pos stay float). The 1.9B ViT-G tower must be quantized
+    # for the SEED-X serving stack to fit one 16GB v5e next to the int4
+    # 13B LLM and the bf16 SDXL UNet; encode is one compute-bound
+    # forward per request, so the accuracy/speed cost is negligible.
+    quantization: Optional[str] = None
 
     @property
     def mlp_width(self) -> int:
@@ -93,6 +99,7 @@ class VisionTransformer(nn.Module):
                        mlp_width=cfg.mlp_width, ln_eps=cfg.ln_eps,
                        gelu_approx=False, remat=cfg.remat,
                        dtype=self.dtype, param_dtype=self.param_dtype,
+                       quantization=cfg.quantization,
                        name="transformer")(x)
         return x
 

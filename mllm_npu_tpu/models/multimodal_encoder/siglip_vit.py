@@ -29,6 +29,8 @@ class SigLIPConfig:
     num_attention_heads: int = 16
     layer_norm_eps: float = 1e-6
     remat: bool = True
+    # int8/int4 weight-only Dense storage (see QwenViTConfig.quantization)
+    quantization: "str | None" = None
 
     @property
     def num_patches(self) -> int:
@@ -82,6 +84,7 @@ class SigLIPVisionEncoder(nn.Module):
                        gelu_approx=True,
                        remat=cfg.remat,
                        dtype=self.dtype, param_dtype=self.param_dtype,
+                       quantization=cfg.quantization,
                        name="encoder")(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          param_dtype=self.param_dtype,

@@ -111,13 +111,17 @@ class TorchMHA(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quantization: Optional[str] = None   # None | "int8" | "int4" weights
 
     @nn.compact
     def __call__(self, q, k, v):
+        from mllm_npu_tpu.ops.quant import QuantDense
         E, H = self.embed_dim, self.num_heads
         D = E // H
-        dense = lambda name: nn.Dense(E, use_bias=True, dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=name)
+        dense = lambda name: QuantDense(E, quantization=self.quantization,
+                                        use_bias=True, dtype=self.dtype,
+                                        param_dtype=self.param_dtype,
+                                        name=name)
         B, Lq, _ = q.shape
         Lk = k.shape[1]
         qh = dense("q_proj")(q).reshape(B, Lq, H, D)
@@ -138,21 +142,25 @@ class ViTBlock(nn.Module):
     gelu_approx: bool = False   # True = tanh approx (SigLIP), False = erf
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        from mllm_npu_tpu.ops.quant import QuantDense
         ln = lambda name: nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
         attn = TorchMHA(self.width, self.heads, self.dtype, self.param_dtype,
-                        name="attn")
+                        quantization=self.quantization, name="attn")
         h = ln("ln_1")(x)
         x = x + attn(h, h, h)
         h = ln("ln_2")(x)
-        h = nn.Dense(self.mlp_width, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="mlp_fc")(h)
+        h = QuantDense(self.mlp_width, quantization=self.quantization,
+                       dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="mlp_fc")(h)
         h = nn.gelu(h, approximate=self.gelu_approx)
-        h = nn.Dense(self.width, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="mlp_proj")(h)
+        h = QuantDense(self.width, quantization=self.quantization,
+                       dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="mlp_proj")(h)
         return x + h
 
 
@@ -169,6 +177,7 @@ class ViTEncoder(nn.Module):
     remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -184,6 +193,6 @@ class ViTEncoder(nn.Module):
         x, _ = scan(
             block_cls(self.width, self.heads, self.mlp_width, self.ln_eps,
                       self.gelu_approx, self.dtype, self.param_dtype,
-                      name="blocks"),
+                      self.quantization, name="blocks"),
             x, None)
         return x

@@ -672,3 +672,68 @@ def test_lora_int8_train_step_trains_only_adapters():
                       "/".join(k))
     n_mu = sum(int(np.prod(x.shape)) for x in mus)
     assert n_mu < 3 * n_trainable + 1000, (n_mu, n_trainable, n_params)
+
+
+@pytest.mark.parametrize("quantization", ["int8", "int4"])
+def test_quant_dense_bias_matches_dequant(quantization):
+    """QuantDense (biased, for the vision towers / UNet linears) output
+    matches dequantize->dense within quantization error."""
+    from mllm_npu_tpu.ops.quant import QuantDense
+    kx, kp = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(kx, (2, 8, 256), jnp.bfloat16)
+    float_m = QuantDense(128, quantization=None, dtype=jnp.bfloat16)
+    fp = float_m.init(kp, x)
+    # nn.Dense-compatible naming on the float path
+    assert set(fp["params"]) == {"kernel", "bias"}
+    fp["params"]["bias"] = jax.random.normal(kp, (128,)) * 0.1
+    ref = float_m.apply(fp, x)
+
+    qp = {"params": quantize_dense_params(
+        fp["params"], bits={"int8": 8, "int4": 4}[quantization],
+        group_size=32)}
+    quant_m = QuantDense(128, quantization=quantization, group_size=32,
+                         dtype=jnp.bfloat16)
+    scale_key = "scale" if quantization == "int8" else "scale_g"
+    assert set(qp["params"]) == {"kernel_q", scale_key, "bias"}
+    out = quant_m.apply(qp, x)
+    atol = 0.15 if quantization == "int8" else 0.3   # int4 is coarser
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=atol)
+
+
+@pytest.mark.parametrize("quantization", ["int8", "int4"])
+def test_quantized_vit_tower_parity(quantization):
+    """A tiny Qwen-ViT with quantized Dense weights (the SEED-X 16GB fit
+    path) stays close to the float tower on identical weights."""
+    from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
+        QwenViTConfig, VisionTransformerWithAttnPool)
+    import dataclasses as _dc
+    cfg = QwenViTConfig.tiny(image_size=28, layers=2)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (1, 28, 28, 3))
+    float_m = VisionTransformerWithAttnPool(cfg, dtype=jnp.float32)
+    p = float_m.init(jax.random.PRNGKey(1), imgs)
+    ref = float_m.apply(p, imgs)
+
+    qcfg = _dc.replace(cfg, quantization=quantization)
+    qm = VisionTransformerWithAttnPool(qcfg, dtype=jnp.float32)
+    # quantize ONLY the encoder blocks' kernels (what the flag switches);
+    # conv/pos/attn_pool/proj stay float
+    qparams = jax.tree_util.tree_map(lambda x_: x_, p)   # copy
+    blocks = p["params"]["backbone"]["transformer"]["blocks"]
+    qblocks = quantize_dense_params(
+        blocks, bits={"int8": 8, "int4": 4}[quantization], group_size=64)
+    qparams["params"]["backbone"]["transformer"]["blocks"] = qblocks
+    # structure must match what the quantized module expects
+    expect = jax.eval_shape(
+        lambda k: qm.init(k, imgs), jax.random.PRNGKey(1))
+    got_keys = jax.tree_util.tree_structure(qparams)
+    assert got_keys == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda s: 0, expect))
+    out = qm.apply(qparams, imgs)
+    err = np.abs(np.asarray(out - ref)).max()
+    scale = np.abs(np.asarray(ref)).max() + 1e-6
+    # int4 at the tiny width runs one coarse group per column (K=64 <
+    # group_size) — looser bound; the serving path uses int8 for the ViT
+    tol = 0.12 if quantization == "int8" else 0.35
+    assert err / scale < tol, (err, scale)
