@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["tiny", "500m", "8b"],
+    p.add_argument("--preset", choices=["tiny", "500m", "8b", "13b"],
                default="500m")
     p.add_argument("--runs", type=int, default=20)
     p.add_argument("--prompt_tokens", type=int, default=512)
@@ -91,6 +91,20 @@ def main():
             scan_layers=False)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
+    elif args.preset == "13b":
+        # SEED-X flagship: Llama-2-13B + Qwen-ViT-G-448 (the reference's
+        # published serving stack, configs/models/
+        # seedx_llama2_13b_qwenvl_vitg.yaml). HBM budget on a 16GB v5e:
+        # int4 LLM 6.7GB + int8 ViT-G 2.0GB + MHA KV cache 0.82MB/token;
+        # int8 LLM is 13.2GB and does NOT leave room for the ViT tower.
+        assert args.int4, "13B on a 16GB chip requires --int4"
+        lm_cfg = LlamaConfig.llama2_13b(
+            quantization="int4", fused_projections=args.fused,
+            scan_layers=False)
+        from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
+            QwenViTConfig)
+        vis_cfg = QwenViTConfig.vit_g(quantization="int8")
+        nq, heads = 64, 32
     else:
         lm_cfg = LlamaConfig(
             vocab_size=32000, hidden_size=1536, intermediate_size=4096,
@@ -100,10 +114,17 @@ def main():
         nq, heads = 64, 16
 
     lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
-    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+    if args.preset == "13b":
+        from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
+            VisionTransformerWithAttnPool)
+        vis = VisionTransformerWithAttnPool(vis_cfg, dtype=jnp.bfloat16)
+        vis_kv_dim = vis_cfg.output_dim
+    else:
+        vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+        vis_kv_dim = vis_cfg.hidden_size
     proj = AttentionResampler(grid_size=int(nq ** 0.5),
                               embed_dim=lm_cfg.hidden_size,
-                              num_heads=heads, kv_dim=vis_cfg.hidden_size,
+                              num_heads=heads, kv_dim=vis_kv_dim,
                               dtype=jnp.bfloat16)
     model = GeneralizedMultimodalModel(
         language_model=lm, vision_encoder=vis, projector=proj,

@@ -374,15 +374,13 @@ def int4_matmul(x: jax.Array, qt: QuantizedTensor4, *,
     M_p = _pad_to(M_p, bm)
     if block_k is None:
         # bk must be a multiple of the quant group so each K-tile holds
-        # whole groups; cap the static unroll at 8 groups per tile
-        bk = 0
-        cap = min(8 * G, K)
-        b = cap - (cap % G)
-        while b >= G:
-            if K % b == 0 and b % G == 0:
-                bk = b
-                break
-            b -= G
+        # whole groups, AND the per-block scale slab [n_g, bn] must have
+        # n_g % 8 == 0 (Mosaic block-shape rule) unless it spans the
+        # whole group axis. Prefer 8 groups per tile; otherwise take the
+        # full K (n_g == n_groups slabs are always legal) — at 13B's
+        # K=5120/G=256 the 8-group tile doesn't divide K, and a partial
+        # tile (n_g=5) fails to lower.
+        bk = 8 * G if K % (8 * G) == 0 else K
     else:
         bk = block_k
     if block_n is None:
