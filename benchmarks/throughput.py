@@ -49,6 +49,18 @@ def main():
                         "first PL tokens are a cached shared prefix "
                         "(system prompt) vs a cold prompt of the same "
                         "length; requires --prefix_cache")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="per-slot prompt-lookup speculative decode in "
+                        "the batching engine (one K+1-wide verify per "
+                        "tick instead of a block_steps scan); reports "
+                        "realized aggregate tok/s + tokens/verify for "
+                        "THIS harness's workload (random-weight decode "
+                        "is degenerately repetitive — near best-case; "
+                        "real-text acceptance: spec_acceptance.py)")
+    p.add_argument("--mixed_sampling", action="store_true",
+                   help="with --speculative: half the slots sample "
+                        "(temperature 0.8) — they ride the same verify "
+                        "forward at 1 token/tick")
     p.add_argument("--stall_probe", type=int, default=0, metavar="SP",
                    help="measure the decode stall a long (SP-token) "
                         "prompt admission inflicts on running slots: "
@@ -152,13 +164,48 @@ def main():
         max_len=args.max_len, block_steps=args.block_steps,
         prompt_bucket=bucket, eos_token_id=-1,
         prefill_chunk=args.prefill_chunk,
-        prefix_cache=args.prefix_cache)
+        prefix_cache=args.prefix_cache,
+        speculative_k=args.speculative,
+        enable_sampling=args.mixed_sampling)
 
     if args.prefix_probe:
         _prefix_probe(args, eng, lm_cfg, rs)
         return
     if args.stall_probe:
         _stall_probe(args, eng, ids, lm_cfg, rs)
+        return
+    if args.speculative:
+        # emissions per tick vary with acceptance: meter tokens
+        # distributed to requests over a window of ticks (the pipelined
+        # one-tick lag cancels in the slope)
+        W = args.speculative + 1
+        n_warm, n_meas = 6, 24
+        budget = W * (n_warm + n_meas) + 8
+        assert eng.capacity_for(S) >= budget, \
+            "raise --max_len for the speculative budget"
+        reqs = [eng.submit(np.asarray(ids[0]), max_new_tokens=budget,
+                           do_sample=args.mixed_sampling and (i % 2 == 1),
+                           temperature=0.8, seed=i)
+                for i in range(args.slots)]
+        for _ in range(n_warm):
+            eng.step()
+        count = lambda: sum(len(r.tokens) for r in reqs)
+        c0, t0 = count(), time.perf_counter()
+        for _ in range(n_meas):
+            eng.step()
+        dt = time.perf_counter() - t0
+        emitted = count() - c0
+        print(json.dumps({
+            "preset": args.preset, "slots": args.slots,
+            "int8": args.int8, "int4": args.int4, "fused": args.fused,
+            "speculative_k": args.speculative,
+            "mixed_sampling": args.mixed_sampling,
+            "prompt_tokens": S,
+            "agg_tokens_per_sec": round(emitted / dt, 1),
+            "tokens_per_verify_per_slot": round(
+                emitted / (n_meas * args.slots), 2),
+            "verify_ticks_per_sec": round(n_meas / dt, 2),
+        }))
         return
     n_warm, n_meas = 2, 8
     budget = args.block_steps * (n_warm + n_meas) + 2

@@ -438,16 +438,21 @@ class LlamaAttention(nn.Module):
         q, k, v = self.project_qkv(x, positions)
 
         new_cache = None
-        if layer_cache is not None and not prefill and S == 1:
-            # Single-token decode: the cache is READ-ONLY here. The
-            # current token attends to the old cache plus its own
-            # (k, v) appended as a virtual column, and the layer
-            # returns just its [B, 1, Hkv, D] slice — the model writes
-            # all layers' slices into the big cache in ONE scatter
-            # outside the layer scan. (Writing inside the layer and
-            # threading the cache out through scan ys restacks the
-            # whole [L,B,S,H,D] cache every step: ~400us/100MB of pure
-            # copy on v5e, formerly the dominant decode cost.)
+        if layer_cache is not None and not prefill and \
+                (S == 1 or jnp.ndim(cache_pos) == 1):
+            # Single-token decode — or a multi-token VERIFY window with
+            # per-row positions (batched speculative decode): the cache
+            # is READ-ONLY here. The window tokens attend to the old
+            # cache plus their own (k, v) appended as virtual columns
+            # (causal within the window), and the layer returns just
+            # its [B, S, Hkv, D] slice — the model writes all layers'
+            # slices into the big cache in ONE scatter outside the
+            # layer scan. (Writing inside the layer and threading the
+            # cache out through scan ys restacks the whole [L,B,S,H,D]
+            # cache every step: ~400us/100MB of pure copy on v5e,
+            # formerly the dominant decode cost.)
+            assert block_kv is None or S == 1, \
+                "block buffers only combine with single-token steps"
             ck, cv = layer_cache  # [B, max_len, Hkv, D]
             kv_len = ck.shape[1]
             if jnp.ndim(cache_pos) == 1:
@@ -727,6 +732,14 @@ class LlamaModel(nn.Module):
                     "v": _write_decode_column(cache["v"], new_kv[1],
                                               cache_pos),
                     "pos": cache["pos"] + S}
+            elif not prefill and jnp.ndim(cache_pos) == 1:
+                # multi-token verify window with per-row positions
+                # (batched speculative decode): cache stayed read-only;
+                # hand the [L, B, S, Hkv, D] window columns back — the
+                # caller scatters only the ACCEPTED prefix per row
+                new_cache = {"k": cache["k"], "v": cache["v"],
+                             "pos": cache["pos"],
+                             "k_col": new_kv[0], "v_col": new_kv[1]}
             else:
                 new_cache = {"k": new_kv[0], "v": new_kv[1],
                              "pos": cache["pos"] + S}

@@ -187,7 +187,16 @@ def decode_attention(
     if k_cur is not None:
         self_logit = jnp.einsum(
             "bqhgd,bshd->bhgqs", qg, k_cur.astype(k.dtype),
-            preferred_element_type=jnp.float32)       # [B,Hkv,G,1,1]
+            preferred_element_type=jnp.float32)       # [B,Hkv,G,Sq,W]
+        W = k_cur.shape[1]
+        if W > 1 or Sq > 1:
+            # multi-token verify window (batched speculative decode):
+            # query i is the window's i-th token — causal within the
+            # window, every window key older-or-self for its query
+            q_idx = jax.lax.broadcasted_iota(jnp.int32, (Sq, W), 0)
+            w_idx = jax.lax.broadcasted_iota(jnp.int32, (Sq, W), 1)
+            cm = (q_idx >= w_idx)[None, None, None]
+            self_logit = jnp.where(cm, self_logit, DEFAULT_MASK_VALUE)
         logits = jnp.concatenate([logits, self_logit], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs[..., :Sk], v,

@@ -230,7 +230,9 @@ class BatchedInferenceEngine(InferenceEngine):
             pad_token_id=gen.sampling.pad_token_id,
             cache_dtype=gen.cache_dtype, mesh=mesh,
             prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
-            ladder=gen.ladder)
+            ladder=gen.ladder,
+            speculative_k=gen.speculative_k,
+            speculative_ngram=gen.speculative_ngram)
         if mesh is not None:
             # the engine sharded the params across the mesh; point the
             # single-request generator (image_gen branch) at the SAME

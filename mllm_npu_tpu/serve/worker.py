@@ -277,10 +277,10 @@ def load_engine_from_config(model_config_path: str,
         speculative_k=speculative_k,
         speculative_ngram=speculative_ngram)
     if batched:
-        # prompt-lookup speculation is a B=1 greedy mechanism; the
-        # continuous-batching engine runs its own multi-slot decode
-        assert not speculative_k, \
-            "--speculative-k applies to the single-request engine only"
+        # per-slot prompt-lookup speculation: greedy slots verify k
+        # drafts per tick through the engine's multi-token window,
+        # sampled slots fall back to one token per tick
+        # (ContinuousBatchingEngine._get_spec_decode)
         from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
         return BatchedInferenceEngine(
             num_slots=num_slots, max_len=max_len,

@@ -523,3 +523,121 @@ def test_prefix_cache_token_parity(prefill_chunk):
         assert req.done and req.tokens == exp, (req.tokens, exp)
     st = eng.stats()["prefix_cache"]
     assert st["hits"] >= 2 and st["tokens_saved"] >= 16, st
+
+
+@pytest.mark.slow
+def test_speculative_engine_matches_plain_greedy():
+    """speculative_k > 0: per-slot prompt-lookup verify emits the SAME
+    greedy token stream as the plain block-decode engine (acceptance
+    only changes how many model calls it takes, never the tokens)."""
+    model, lm_cfg, params = _stack()
+    # repetitive prompts (prompt-lookup accepts runs) + a random one
+    prompts = [[7, 8, 9, 7, 8, 9, 7, 8],
+               [5, 1, 88, 200, 14, 3, 77, 21, 9],
+               [4, 4, 4, 4, 4, 4]]
+    T = 10
+    expected = [_reference_tokens(model, lm_cfg, params, p, T)
+                for p in prompts]
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=4, max_len=64,
+        prompt_bucket=8, max_prompt=16, eos_token_id=-1,
+        cache_dtype=jnp.float32, speculative_k=4)
+    reqs = [eng.submit(p, max_new_tokens=T) for p in prompts]
+    eng.run_until_idle()
+    for req, exp in zip(reqs, expected):
+        assert req.done
+        assert req.tokens == exp, (req.tokens, exp)
+
+
+@pytest.mark.slow
+def test_speculative_engine_acceptance_mechanics():
+    """Deterministic oracle check of the per-slot accept logic: a
+    model that always continues the 7->8->9 cycle. Row 0's history is
+    the cycle (drafts fully accepted -> k+1 tokens/tick); row 1's
+    history has no repeating n-gram (pad drafts rejected -> exactly 1
+    token/tick); row 2 is inactive (emits nothing)."""
+    model, lm_cfg, params = _stack()
+    B, k, max_len = 4, 4, 64
+    W = k + 1
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=B, max_len=max_len,
+        prompt_bucket=16, eos_token_id=-1, cache_dtype=jnp.float32,
+        speculative_k=k)
+    L, _, _, Hkv, D = eng.state["k"].shape
+    V = lm_cfg.vocab_size
+
+    # deterministic next-token table: 8->1->2->3->4->5
+    table = np.zeros((V,), np.int32)
+    for a, b_ in [(8, 1), (1, 2), (2, 3), (3, 4), (4, 5)]:
+        table[a] = b_
+    table_j = jnp.asarray(table)
+
+    def oracle_lm(params_, toks, cache, positions, attn_mask, **kw):
+        logits = jax.nn.one_hot(table_j[toks], V) * 10.0
+        out_cache = {"k": cache["k"], "v": cache["v"],
+                     "pos": cache["pos"],
+                     "k_col": jnp.zeros((L, B, W, Hkv, D), jnp.float32),
+                     "v_col": jnp.zeros((L, B, W, Hkv, D), jnp.float32)}
+        return logits, None, out_cache
+
+    eng._lm_apply = oracle_lm
+
+    st = eng.state
+    hist = np.asarray(st["hist"]).copy()
+    # trailing gram [9,7,8] recurs at index 2..4 followed by [1,2,3,4]
+    # — the proposer drafts exactly the oracle's continuation of cur=8
+    rep = [5, 6, 9, 7, 8, 1, 2, 3, 4, 9, 7, 8]
+    hist[0, :len(rep)] = rep
+    rnd = [3, 17, 42, 100, 5, 60, 11, 2]     # no repeated n-gram
+    hist[1, :len(rnd)] = rnd
+    st = {**st,
+          "hist": jnp.asarray(hist),
+          "hist_len": jnp.asarray([len(rep), len(rnd), 0, 0], jnp.int32),
+          "cur_tok": jnp.asarray([8, 2, 0, 0], jnp.int32),
+          "active": jnp.asarray([True, True, False, False]),
+          "write_pos": jnp.asarray([12, 8, 0, 0], jnp.int32),
+          "rope_pos": jnp.asarray([12, 8, 0, 0], jnp.int32),
+          "n_gen": jnp.asarray([1, 1, 0, 0], jnp.int32),
+          "max_gen": jnp.asarray([32, 32, 0, 0], jnp.int32),
+          "key_valid": st["key_valid"]}
+    decode = eng._get_spec_decode()
+    new_state, toks, mask = decode(eng.params, st)
+    toks, mask = np.asarray(toks), np.asarray(mask)
+    # row 0: drafts [1,2,3,4] all match the oracle chain -> k+1 emitted
+    assert mask[0].sum() == W, (toks[0], mask[0])
+    assert list(toks[0]) == [1, 2, 3, 4, 5]
+    # row 1: pad drafts rejected -> exactly 1 emitted (the correction)
+    assert mask[1].sum() == 1, (toks[1], mask[1])
+    # row 2/3: inactive -> nothing
+    assert mask[2].sum() == 0 and mask[3].sum() == 0
+    ns = {kk: np.asarray(vv) for kk, vv in new_state.items()}
+    assert list(ns["write_pos"]) == [12 + W, 9, 0, 0]
+    assert list(ns["hist_len"]) == [12 + W, 9, 0, 0]
+    assert list(ns["n_gen"]) == [1 + W, 2, 0, 0]
+    # histories extended with the emitted tokens
+    assert list(ns["hist"][0, 12:12 + W]) == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.slow
+def test_speculative_engine_mixed_sampled_and_greedy_slots():
+    """Sampled slots ride the same verify forward but emit exactly one
+    sampled token per tick; greedy slots in the same batch still match
+    the deterministic reference stream."""
+    model, lm_cfg, params = _stack()
+    greedy_prompt = [3, 17, 42, 9, 100, 7]
+    T = 8
+    exp = _reference_tokens(model, lm_cfg, params, greedy_prompt, T)
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=4, max_len=64,
+        prompt_bucket=8, max_prompt=16, eos_token_id=-1,
+        cache_dtype=jnp.float32, speculative_k=4,
+        enable_sampling=True)
+    r_greedy = eng.submit(greedy_prompt, max_new_tokens=T)
+    r_samp = eng.submit([5, 1, 88, 200], max_new_tokens=T,
+                        do_sample=True, temperature=0.8, top_p=0.9,
+                        seed=7)
+    eng.run_until_idle()
+    assert r_greedy.done and r_greedy.tokens == exp
+    assert r_samp.done and len(r_samp.tokens) == T
+    assert all(0 <= t < SPEC.vocab for t in r_samp.tokens)
