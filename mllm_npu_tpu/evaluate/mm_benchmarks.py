@@ -91,10 +91,17 @@ def mm_vet_eval(model, data_path, out_path="res_mmvet.json",
         qid = f"v1_{i}"
         item = data[qid]
         img_path = os.path.join(image_folder, item["imagename"])
+        # reference mm_vet.py:68: the bare assistant sentence — its
+        # .format(question) is vestigial (no placeholder), so the
+        # question reaches the model only through conversation handling
+        # upstream; kept byte-exact
         pred = model.generate_with_image(
-            MME_PROMPT.format(item["question"]), img_path)
-        results[qid] = strip_special(pred).strip()
-    json.dump(results, open(out_path, "w"), indent=2)
+            "You are a helpful assistant. Generate a short and concise "
+            "response to the following image text pair.", img_path)
+        # reference mm_vet.py:98-101: the two regex strips only, no
+        # whitespace trim; file written with indent=4
+        results[qid] = strip_special(pred)
+    json.dump(results, open(out_path, "w"), indent=4)
     return results
 
 

@@ -24,12 +24,15 @@ def format_subject(subject: str) -> str:
 # MMLU / CMMLU (headerless CSV: question, A, B, C, D, answer)
 # ---------------------------------------------------------------------------
 
-def format_example_df(df, idx, include_answer=True) -> str:
+def format_example_df(df, idx, include_answer=True,
+                      chinese=False) -> str:
     prompt = str(df.iloc[idx, 0])
     k = df.shape[1] - 2
     for j in range(k):
         prompt += "\n{}. {}".format(CHOICES[j], df.iloc[idx, j + 1])
-    prompt += "\nAnswer:"
+    # the Chinese benchmarks end examples with 答案: (reference
+    # cmmlu.py:15 / ceval.py:15), the English ones with Answer:
+    prompt += "\n答案:" if chinese else "\nAnswer:"
     if include_answer:
         prompt += " {}\n\n".format(df.iloc[idx, k + 1])
     return prompt
@@ -47,7 +50,8 @@ def gen_prompt_df(train_df, subject, k=-1, chinese=False) -> str:
                 " about {}.\n\n".format(format_subject(subject)))
     if k == -1:
         k = train_df.shape[0]
-    return head + "".join(format_example_df(train_df, i) for i in range(k))
+    return head + "".join(
+        format_example_df(train_df, i, chinese=chinese) for i in range(k))
 
 
 def _eval_subject_df(model, subject, dev_df, test_df, chinese=False,
@@ -58,7 +62,8 @@ def _eval_subject_df(model, subject, dev_df, test_df, chinese=False,
     train_prompt = gen_prompt_df(dev_df, subject, k, chinese=chinese)
     for i in range(n):
         prompt = train_prompt + format_example_df(test_df, i,
-                                                  include_answer=False)
+                                                  include_answer=False,
+                                                  chinese=chinese)
         label = str(test_df.iloc[i, test_df.shape[1] - 1])
         text = model.generate_text(prompt, max_new_tokens=10)
         # reference compares output['text'][1] to the label letter
@@ -139,20 +144,23 @@ def ceval_eval(model, data_path, k=5, max_items_per_subject=None,
         # reference ceval.py:30 bytes
         train_prompt = ("以下是中国关于{}考试的单项选择题，请选出其中的正确"
                         "答案。\n\n").format(format_subject(subject))
+        # reference ceval.py:11-18 example bytes (named columns, 答案:)
         for i in range(min(k, few.shape[0])):
             train_prompt += str(few.iloc[i]["question"])
             for c in "ABCD":
                 train_prompt += f"\n{c}. {few.iloc[i][c]}"
-            train_prompt += "\nAnswer: {}\n\n".format(
+            train_prompt += "\n答案: {}\n\n".format(
                 few.iloc[i].get("answer", ""))
         for i in range(n):
             row = test_df.iloc[i]
             prompt = train_prompt + str(row["question"])
             for c in "ABCD":
                 prompt += f"\n{c}. {row[c]}"
-            prompt += "\nAnswer:"
+            prompt += "\n答案:"
             text = model.generate_text(prompt, max_new_tokens=10)
-            preds[str(row.get("id", i))] = text.strip()[:1]
+            # submission keyed by ROW INDEX (reference ceval.py:60
+            # res_s[str(i)]), value = the predicted letter
+            preds[str(i)] = text.strip()[:1]
         all_result[subject] = preds
     json.dump(all_result, open(out_path, "w"))
     return all_result
@@ -178,8 +186,10 @@ def bbh_eval(model, data_path, k=5, max_items_per_subject=None,
     for subject in subjects:
         data = json.load(open(os.path.join(data_path, "data",
                                            subject + ".json")))
-        train_prompt = ("The following are questions (with answers) about{}"
-                        ".\n\n".format(format_subject(subject)))
+        # reference bbh.py:23 — "about {}" + format_subject's leading
+        # space gives a double space, kept byte-exact
+        train_prompt = ("The following are questions (with answers) "
+                        "about {}.\n\n".format(format_subject(subject)))
         train_prompt += "".join(format_example_bbh(data, i)
                                 for i in range(k))
         cors = []
