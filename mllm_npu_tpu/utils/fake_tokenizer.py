@@ -6,6 +6,8 @@ mllm_npu_tpu.utils.testing."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 
@@ -41,7 +43,11 @@ class FakeTokenizer:
                 ids.append(self.special[part])
             else:
                 for w in part.split():
-                    h = (hash(w) % (self.vocab_size - self._word_base))
+                    # crc32, not hash(): stable across processes (str
+                    # hash is randomized per interpreter, which would
+                    # break parent-vs-spawn-worker sequence equality)
+                    h = (zlib.crc32(w.encode("utf-8"))
+                         % (self.vocab_size - self._word_base))
                     ids.append(self._word_base + h)
         return ids
 

@@ -94,7 +94,7 @@ def test_dead_worker_raises_instead_of_hanging(tmp_path):
     """A worker that dies without enqueueing must surface as a
     RuntimeError in the parent, not an eternal queue.get()."""
     loader = MultiProcessDataLoader(_ExitingPipeFactory(), num_workers=1,
-                                    prefetch=2, mp_context="fork")
+                                    prefetch=2, mp_context="spawn")
     with pytest.raises(RuntimeError, match="died"):
         next(iter(loader))
 
@@ -279,14 +279,15 @@ def test_multiprocess_loader_resume(tmp_path):
 
 
 class _PicklableTextFactory:
-    def __init__(self, root):
+    def __init__(self, root, cycle_count=1):
         self.root = str(root)
+        self.cycle_count = cycle_count
 
     def __call__(self, seed):
         return build_text_datapipes(
             self.root, tokenizer=FakeTokenizer(), max_length=32,
-            batch_size=4, cycle_count=1, dataset_name="txt",
-            shard_for_host=False, seed=seed)
+            batch_size=4, cycle_count=self.cycle_count,
+            dataset_name="txt", shard_for_host=False, seed=seed)
 
 
 @pytest.mark.slow
@@ -336,8 +337,12 @@ def test_unpicklable_factory_falls_back_to_threads(tmp_path):
         fallback.shutdown()
     assert got
 
-    ref = MultiProcessDataLoader(closure_factory, num_workers=2,
-                                 prefetch=2, mp_context="fork")
+    # reference: REAL process workers (spawn — never fork a JAX-owning
+    # parent) running a picklable factory equivalent to the closure;
+    # FakeTokenizer hashing is crc32, so ids match across interpreters
+    ref = MultiProcessDataLoader(
+        _PicklableTextFactory(tmp_path, cycle_count=1), num_workers=2,
+        prefetch=2, mp_context="spawn")
     try:
         want = [_batch_fingerprint(b) for b in iter(ref)]
     finally:
