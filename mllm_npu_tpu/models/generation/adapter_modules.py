@@ -73,6 +73,17 @@ class SDXLAdapter:
         self.image_transform = None
         self.discrete_model = None
         self._denoise_cache = {}
+        self._jit_cache = {}
+
+    def _jit(self, tag: str, fn):
+        """Per-tag jitted callable. The encoder/resampler passes must run
+        under jit: an un-jitted Flax apply dispatches each primitive
+        separately, which on a remote-tunneled device (axon) costs a host
+        round-trip per op — seconds per ViT-G forward vs one dispatch."""
+        got = self._jit_cache.get(tag)
+        if got is None:
+            got = self._jit_cache[tag] = jax.jit(fn)
+        return got
 
     # -- training ------------------------------------------------------------
 
@@ -104,15 +115,15 @@ class SDXLAdapter:
         self.discrete_model = discrete_model
 
     def encode_image_embeds(self, image_embeds):
-        return self.resampler_module.apply(self.resampler_params,
-                                           image_embeds)
+        return self._jit("resampler", self.resampler_module.apply)(
+            self.resampler_params, image_embeds)
 
     def _negative_embeds(self, batch: int, image_size: int):
         assert self.visual_encoder is not None, \
             "init_pipe with visual_encoder for zero-image negatives"
         module, params = self.visual_encoder
         zeros = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-        neg = module.apply(params, zeros)
+        neg = self._jit("vit", module.apply)(params, zeros)
         if self.vit_down:
             n, L, C = neg.shape
             neg = neg.reshape(n, L // 4, 4, C).mean(axis=2)
@@ -122,7 +133,8 @@ class SDXLAdapter:
                          return_negative=True, image_size=448):
         if image_tensor is not None:
             module, params = self.visual_encoder
-            image_embeds = module.apply(params, image_tensor)
+            image_embeds = self._jit("vit", module.apply)(
+                params, image_tensor)
         if return_negative:
             neg_raw = self._negative_embeds(image_embeds.shape[0],
                                             image_size)
@@ -239,15 +251,15 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
         if latent_image is None:
             image_latents = jnp.zeros((B, lat_h, lat_w, 4), jnp.float32)
         else:
-            image_latents = self.vae_module.apply(
-                self.vae_params, latent_image,
-                method=self.vae_module.encode)
+            image_latents = self._jit(
+                "vae_encode",
+                functools.partial(self.vae_module.apply,
+                                  method=self.vae_module.encode))(
+                self.vae_params, latent_image)
 
         time_ids = jnp.asarray(
             np.repeat(compute_time_ids((height, width), (0, 0), height),
                       B, axis=0))
-        sched = self.scheduler
-        ts, sigmas = sched.make_schedule(num_inference_steps)
 
         # three-way CFG: [uncond/no-image, image-only, full]
         prompt = jnp.concatenate([pe_neg, pe_neg, pe], axis=0)
@@ -258,8 +270,29 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
             axis=0)
         tids = jnp.concatenate([time_ids] * 3, axis=0)
 
+        run = self._denoise3_fn(num_inference_steps, height, width)
+        imgs = run(self.unet_params, self.vae_params, latents, prompt,
+                   pooled_all, tids, img_lat_all,
+                   jnp.float32(guidance_scale),
+                   jnp.float32(image_guidance_scale))
+        return [_to_pil(np.asarray(img)) for img in imgs]
+
+    def _denoise3_fn(self, num_steps: int, height: int, width: int):
+        """Cached jitted 3-way-CFG denoise loop — embeds/latents/scales
+        are traced arguments, so repeat calls (and guidance changes)
+        reuse one compiled program instead of retracing per request."""
+        key = ("edit3", num_steps, height, width)
+        if key in self._denoise_cache:
+            return self._denoise_cache[key]
+
+        sched = self.scheduler
+        ts, sigmas = sched.make_schedule(num_steps)
+
         @jax.jit
-        def run(unet_params, vae_params, latents):
+        def run(unet_params, vae_params, latents, prompt, pooled_all,
+                tids, img_lat_all, guidance, img_guidance):
+            B = latents.shape[0]
+
             def body(i, carry):
                 lat, sstate = carry
                 sigma, t = sigmas[i], ts[i]
@@ -273,20 +306,19 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
                                 "time_ids": tids})
                 e_unc, e_img, e_full = jnp.split(eps, 3, axis=0)
                 eps = (e_unc
-                       + image_guidance_scale * (e_img - e_unc)
-                       + guidance_scale * (e_full - e_img))
+                       + img_guidance * (e_img - e_unc)
+                       + guidance * (e_full - e_img))
                 return sched.step(eps.astype(jnp.float32), lat, i, ts,
                                   sigmas, sstate)
 
             lat, _ = jax.lax.fori_loop(
-                0, num_inference_steps, body,
-                (latents, sched.init_state(latents)))
+                0, num_steps, body, (latents, sched.init_state(latents)))
             return self.vae_module.apply(
                 vae_params, lat / self.vae_module.config.scaling_factor,
                 method=self.vae_module.decode)
 
-        imgs = run(self.unet_params, self.vae_params, latents)
-        return [_to_pil(np.asarray(img)) for img in imgs]
+        self._denoise_cache[key] = run
+        return run
 
 
 def _to_pil(arr: np.ndarray) -> Image.Image:
@@ -360,6 +392,9 @@ class IPAdapterSD:
         self.unet_params = unet_params
         self.resampler_module = resampler_module
         self.resampler_params = resampler_params
+        self._jit_cache = {}
+
+    _jit = SDXLAdapter._jit
 
     @property
     def num_image_tokens(self) -> int:
@@ -367,8 +402,8 @@ class IPAdapterSD:
 
     def encode_image_embeds(self, image_embeds):
         """(reference adapter_modules.py:83-87)."""
-        out = self.resampler_module.apply(self.resampler_params,
-                                          image_embeds)
+        out = self._jit("resampler", self.resampler_module.apply)(
+            self.resampler_params, image_embeds)
         if isinstance(out, tuple):  # XL-style resampler returns (pe, pooled)
             out = out[0]
         return out.astype(image_embeds.dtype)
@@ -432,6 +467,9 @@ class IPAdapterSDPipe:
         self.text_context_len = text_context_len
         self.ip_scale = 1.0
         self._denoise_cache = {}
+        self._jit_cache = {}
+
+    _jit = SDXLAdapter._jit
 
     def set_scale(self, scale: float):
         """(reference adapter_modules.py:171-174) — a traced scalar here,
@@ -450,7 +488,7 @@ class IPAdapterSDPipe:
             image_tensor = jnp.concatenate(
                 [image_tensor, jnp.zeros_like(image_tensor)], axis=0)
         module, params = self.visual_encoder
-        embeds = module.apply(params, image_tensor)
+        embeds = self._jit("vit", module.apply)(params, image_tensor)
         if self.discrete_model is not None:
             embeds = self.discrete_model(embeds)
         tokens = self.ip_adapter.encode_image_embeds(embeds)
