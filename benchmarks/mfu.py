@@ -62,7 +62,7 @@ def lora_flops_per_token(cfg) -> float:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset",
-                   choices=["tiny", "500m", "1b", "2b", "3b", "8b"],
+                   choices=["tiny", "500m", "1b", "2b", "3b", "8b", "13b"],
                    default="500m")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seq", type=int, default=1024)
@@ -102,6 +102,11 @@ def main():
     p.add_argument("--no_remat", action="store_true",
                    help="disable gradient checkpointing (measures the "
                         "remat recompute cost when activations fit)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatch accumulation steps (lax.scan inside "
+                        "the jitted step, train_state.make_train_step): "
+                        "effective batch = batch x grad_accum at the "
+                        "HBM footprint of one microbatch")
     p.add_argument("--ce_chunk", type=int, default=0,
                    help="chunked (fused-linear) CE: compute the LM loss "
                         "in sequence chunks of this many positions "
@@ -175,12 +180,20 @@ def main():
             remat_policy=args.remat_policy)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 24
-    else:  # 8b
+    elif args.preset == "8b":
         lm_cfg = LlamaConfig.llama3_8b(attention_impl="auto",
                                        remat=not args.no_remat,
                                        remat_policy=args.remat_policy)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
+    else:  # 13b — the SEED-X flagship train assembly (Llama-2-13B +
+        # Qwen-ViT-G-448, reference configs/models/
+        # seedx_llama2_13b_qwenvl_vitg.yaml); QLoRA-only on a 16GB chip
+        lm_cfg = LlamaConfig.llama2_13b(attention_impl="auto",
+                                        remat=not args.no_remat,
+                                        remat_policy=args.remat_policy)
+        vis_cfg = None    # QwenViT-G, built below
+        nq, heads = 64, 40
 
     if args.lora:
         import dataclasses as _dc
@@ -191,10 +204,27 @@ def main():
 
     pd = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.param_dtype]
     lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16, param_dtype=pd)
-    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16, param_dtype=pd)
+    if vis_cfg is not None:
+        vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16,
+                                  param_dtype=pd)
+        # (hidden, mlp, layers, tokens/img, px) for the FLOPs denominator
+        vis_dims = (vis_cfg.hidden_size, vis_cfg.intermediate_size,
+                    vis_cfg.num_hidden_layers, vis_cfg.num_patches,
+                    vis_cfg.image_size)
+        kv_dim = vis_cfg.hidden_size
+    else:
+        from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
+            QwenViTConfig, VisionTransformerWithAttnPool)
+        qcfg = QwenViTConfig.vit_g()
+        vis = VisionTransformerWithAttnPool(qcfg, dtype=jnp.bfloat16,
+                                            param_dtype=pd)
+        grid = qcfg.image_size // qcfg.patch_size
+        vis_dims = (qcfg.width, qcfg.mlp_width, qcfg.layers,
+                    grid * grid, qcfg.image_size)
+        kv_dim = qcfg.output_dim
     proj = AttentionResampler(grid_size=int(nq ** 0.5),
                               embed_dim=lm_cfg.hidden_size,
-                              num_heads=heads, kv_dim=vis_cfg.hidden_size,
+                              num_heads=heads, kv_dim=kv_dim,
                               dtype=jnp.bfloat16, param_dtype=pd)
     model = GeneralizedMultimodalModel(
         language_model=lm, vision_encoder=vis, projector=proj,
@@ -213,7 +243,7 @@ def main():
         "input_ids": jnp.asarray(
             rs.randint(5, lm_cfg.vocab_size, (B, S)), jnp.int32),
         "images": jnp.asarray(rs.randn(
-            N, vis_cfg.image_size, vis_cfg.image_size, 3), jnp.bfloat16),
+            N, vis_dims[4], vis_dims[4], 3), jnp.bfloat16),
         "attention_mask": jnp.ones((B, S), jnp.int32),
         "labels": jnp.asarray(rs.randint(5, lm_cfg.vocab_size, (B, S)),
                               jnp.int32),
@@ -252,7 +282,10 @@ def main():
         out = model.apply(p, **b)
         return out["total_loss"], {"lm_loss": out["lm_loss"]}
 
-    step = make_train_step(loss_fn)
+    if args.grad_accum > 1:
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * args.grad_accum), batch)
+    step = make_train_step(loss_fn, grad_accum=args.grad_accum)
     jitted, state_sharding, batch_shardings = compile_train_step(
         step, state, batch, mesh)
     state = shard_train_state(state, state_sharding)
@@ -277,7 +310,7 @@ def main():
     per_step = (t2 - t1) / (n2 - n1)
 
     n_chips = len(jax.devices())
-    tokens = B * S
+    tokens = B * S * args.grad_accum
     if args.lora:
         # frozen base (QLoRA): base matmuls do fwd + bwd-dx only (no dW)
         # = 2x fwd cost; attention, the lm head and the adapters still do
@@ -293,11 +326,10 @@ def main():
         lm_tok_flops = llama_flops_per_token(lm_cfg) \
             + attention_flops_per_token(lm_cfg, S)
         step_flops = 3 * lm_tok_flops * tokens    # fwd + bwd
-    vis_tokens = N * vis_cfg.num_patches
-    vis_flops = 2 * (vis_cfg.hidden_size ** 2 * 4
-                     + 2 * vis_cfg.hidden_size
-                     * vis_cfg.intermediate_size) \
-        * vis_cfg.num_hidden_layers * vis_tokens  # fwd only (frozen)
+    vh, vinter, vL, vtok, _ = vis_dims
+    vis_tokens = N * args.grad_accum * vtok
+    vis_flops = 2 * (vh ** 2 * 4 + 2 * vh * vinter) \
+        * vL * vis_tokens  # fwd only (frozen)
     step_flops += vis_flops
     peak = PEAK_BF16[args.peak] * 1e12 * n_chips
     mfu = step_flops / per_step / peak
@@ -308,9 +340,11 @@ def main():
         "lora": args.lora, "quantize_base": args.quantize_base,
         "params_m": round(n_params / 1e6, 1),
         "batch": B, "seq": S, "images": N, "chips": n_chips,
+        "grad_accum": args.grad_accum,
         "sec_per_step": round(per_step, 4),
         "tokens_per_sec": round(tokens / per_step),
-        "images_per_sec_per_chip": round(N / per_step / n_chips, 2),
+        "images_per_sec_per_chip": round(
+            N * args.grad_accum / per_step / n_chips, 2),
         "model_tflops_per_step": round(step_flops / 1e12, 2),
         "mfu": round(mfu, 4),
     }))

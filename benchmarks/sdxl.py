@@ -107,6 +107,12 @@ def main():
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="per-chip bf16 peak (v5e 197, v5p 459) for the "
                         "%%-of-peak column")
+    p.add_argument("--ballast_gb", type=float, default=0.0,
+                   help="allocate this many GB of device HBM before "
+                        "timing — reproduces the SEED-X transaction's "
+                        "residency (13.7GB of LLM/ViT/UNet weights) to "
+                        "isolate whether denoise slowdown is an "
+                        "HBM-pressure effect")
     args = p.parse_args()
 
     import jax
@@ -122,6 +128,12 @@ def main():
     from mllm_npu_tpu.models.generation.unet import (UNet2DConditionModel,
                                                      UNetConfig)
     from mllm_npu_tpu.models.generation.vae import AutoencoderKL, VAEConfig
+
+    ballast = None
+    if args.ballast_gb > 0:
+        n = int(args.ballast_gb * 2**30 / 2)
+        ballast = jax.device_put(jnp.zeros((n,), jnp.bfloat16))
+        jax.block_until_ready(ballast)
 
     dtype = jnp.bfloat16
     ucfg = UNetConfig.sdxl_base(sample_size=args.size // 8,
@@ -206,7 +218,9 @@ def main():
         "pct_of_peak": round(100 * tflops / args.peak_tflops, 1),
         "image_latency_s": round(med_img, 3),
         "image_steps": args.steps_image,
+        "ballast_gb": args.ballast_gb,
     }))
+    del ballast
 
 
 if __name__ == "__main__":

@@ -315,6 +315,8 @@ def test_embedding_lookup_grad_matches_take():
         llama._embedding_lookup_for.cache_clear()
 
 
+@pytest.mark.slow   # two full fwd+bwd compiles (~17s CPU) for a pure
+# numerics-equivalence check — correctness, not wiring
 def test_dots_lite_remat_matches_no_remat():
     """remat_policy='dots_lite' (save post-RoPE q/k/v + o_proj output,
     recompute gate/up) must be gradient-identical to the un-rematted
