@@ -119,14 +119,20 @@ class SDXLAdapter:
             self.resampler_params, image_embeds)
 
     def _negative_embeds(self, batch: int, image_size: int):
-        assert self.visual_encoder is not None, \
-            "init_pipe with visual_encoder for zero-image negatives"
-        module, params = self.visual_encoder
-        zeros = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-        neg = self._jit("vit", module.apply)(params, zeros)
-        if self.vit_down:
-            n, L, C = neg.shape
-            neg = neg.reshape(n, L // 4, 4, C).mean(axis=2)
+        # the zero-image negative is a constant per image_size — cache
+        # the device array so serving pays the ViT forward once, not
+        # once per request (ref adapter_modules.py:176-195 recomputes)
+        neg = self._jit_cache.get(("neg", image_size))
+        if neg is None:
+            assert self.visual_encoder is not None, \
+                "init_pipe with visual_encoder for zero-image negatives"
+            module, params = self.visual_encoder
+            zeros = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+            neg = self._jit("vit", module.apply)(params, zeros)
+            if self.vit_down:
+                n, L, C = neg.shape
+                neg = neg.reshape(n, L // 4, 4, C).mean(axis=2)
+            self._jit_cache[("neg", image_size)] = neg
         return jnp.broadcast_to(neg, (batch,) + neg.shape[1:])
 
     def get_image_embeds(self, image_embeds=None, image_tensor=None,
@@ -212,7 +218,8 @@ class SDXLAdapter:
         imgs = run(self.unet_params, self.vae_params, latents, pe, pe_neg,
                    pooled, pooled_neg, time_ids,
                    jnp.float32(guidance_scale))
-        return [_to_pil(np.asarray(img)) for img in imgs]
+        return [_to_pil(np.asarray(img))
+                for img in _postprocess_u8(imgs)]
 
     @classmethod
     def from_pretrained(cls, unet_module, unet_params, resampler_module,
@@ -275,7 +282,8 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
                    pooled_all, tids, img_lat_all,
                    jnp.float32(guidance_scale),
                    jnp.float32(image_guidance_scale))
-        return [_to_pil(np.asarray(img)) for img in imgs]
+        return [_to_pil(np.asarray(img))
+                for img in _postprocess_u8(imgs)]
 
     def _denoise3_fn(self, num_steps: int, height: int, width: int):
         """Cached jitted 3-way-CFG denoise loop — embeds/latents/scales
@@ -321,8 +329,18 @@ class SDXLAdapterWithLatentImage(SDXLAdapter):
         return run
 
 
+@jax.jit
+def _postprocess_u8(imgs):
+    """[-1,1] float images → uint8 on-device, so the host fetch moves
+    3 bytes/pixel instead of 12 (matters on a remote-tunneled device)."""
+    x = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(x * 255.0).astype(jnp.uint8)
+
+
 def _to_pil(arr: np.ndarray) -> Image.Image:
-    arr = np.clip(arr / 2 + 0.5, 0, 1)
+    if arr.dtype == np.uint8:
+        return Image.fromarray(arr)
+    arr = np.clip(np.asarray(arr, np.float32) / 2 + 0.5, 0, 1)
     return Image.fromarray((arr * 255).round().astype(np.uint8))
 
 
@@ -569,4 +587,5 @@ class IPAdapterSDPipe:
         imgs = run(self.ip_adapter.unet_params, self.vae_params, latents,
                    context_pos, context_neg, jnp.float32(guidance_scale),
                    jnp.float32(self.ip_scale))
-        return [_to_pil(np.asarray(img)) for img in imgs]
+        return [_to_pil(np.asarray(img))
+                for img in _postprocess_u8(imgs)]

@@ -144,6 +144,40 @@ def test_adapter_generate_end_to_end():
     assert imgs[0].size == (size, size)
 
 
+def test_negative_embed_cache_and_u8_postprocess():
+    """The zero-image negative is constant per image_size: the second
+    request must come from the cache (no encoder pass), and the
+    on-device uint8 postprocess must match the host formula bit-exactly."""
+    import flax.linen as nn
+    from mllm_npu_tpu.models.generation.adapter_modules import (
+        _postprocess_u8)
+    adapter, _ = _tiny_adapter()
+    calls = []
+
+    class CountingViT(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            calls.append(1)
+            return nn.Dense(16)(jnp.mean(x, axis=(1, 2)))[:, None, :] \
+                .repeat(4, 1)
+
+    vit = CountingViT()
+    vp = vit.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 3)))
+    adapter.visual_encoder = (vit, vp)
+    n1 = adapter._negative_embeds(2, 8)
+    traces_after_first = len(calls)   # init + one jit trace
+    adapter.visual_encoder = None     # cache hit must not need it
+    n2 = adapter._negative_embeds(3, 8)
+    assert len(calls) == traces_after_first   # no re-trace, no re-run
+    np.testing.assert_array_equal(np.asarray(n1[0]), np.asarray(n2[0]))
+    assert n2.shape[0] == 3           # broadcast stays per-request
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 3)) * 1.5
+    want = (np.clip(np.asarray(x, np.float32) / 2 + 0.5, 0, 1)
+            * 255).round().astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(_postprocess_u8(x)), want)
+
+
 def adapter_generate_no_negative(adapter, embeds, size):
     """Bypass the visual-encoder negative (not loaded in tiny test):
     use the embeds themselves as negatives."""
