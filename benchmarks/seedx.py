@@ -311,11 +311,52 @@ def main():
                                     num_inference_steps=args.steps)
             ts.append(time.perf_counter() - t0)
         denoise_s = statistics.median(ts)
+
+        # attribute generate() time: embeds (neg+resampler) vs
+        # device-side denoise+VAE vs host fetch+PIL — the isolated
+        # sdxl.py number only covers the middle term, so this is what
+        # explains any in-transaction vs isolated gap
+        import numpy as _np
+
+        from mllm_npu_tpu.models.generation.adapter_modules import (
+            _postprocess_u8, compute_time_ids)
+        t0 = time.perf_counter()
+        pe, pe_neg, pooled, pooled_neg = adapter.get_image_embeds(
+            image_embeds=feats, return_negative=True, image_size=448)
+        jax.block_until_ready((pe, pooled))
+        embeds_s = time.perf_counter() - t0
+        B = pe.shape[0]
+        f = adapter.vae_module.config.spatial_scale_factor
+        lat = jax.random.normal(
+            jax.random.PRNGKey(42),
+            (B, args.image_size // f, args.image_size // f, 4),
+            jnp.float32) * adapter.scheduler.init_noise_sigma
+        tids = jnp.asarray(_np.repeat(
+            compute_time_ids((args.image_size, args.image_size), (0, 0),
+                             args.image_size), B, axis=0))
+        run = adapter._denoise_fn(args.steps, args.image_size,
+                                  args.image_size)
+        t0 = time.perf_counter()
+        imgs_dev = run(adapter.unet_params, adapter.vae_params, lat, pe,
+                       pe_neg, pooled, pooled_neg, tids, jnp.float32(7.5))
+        jax.block_until_ready(imgs_dev)
+        device_denoise_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        u8 = _np.asarray(_postprocess_u8(imgs_dev))
+        fetch_s = time.perf_counter() - t0
+
         out["image_out"] = {
             "size": args.image_size, "steps": args.steps,
             "img_token_decode_ms": round(img_decode_s * 1e3, 1),
             "project_ms": round(project_s * 1e3, 2),
             "denoise_vae_s": round(denoise_s, 3),
+            "breakdown": {
+                "embeds_s": round(embeds_s, 3),
+                "device_denoise_vae_s": round(device_denoise_s, 3),
+                "device_ms_per_cfg_step": round(
+                    device_denoise_s / args.steps * 1e3, 1),
+                "host_fetch_pil_s": round(fetch_s, 3),
+            },
             "transaction_s": round(
                 statistics.median(prefill_ts) + img_decode_s
                 + project_s + denoise_s, 3),
