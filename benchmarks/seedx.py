@@ -40,6 +40,10 @@ def main():
                         "default, serve/worker.py:300)")
     p.add_argument("--no_sdxl", action="store_true",
                    help="comprehension-only stack (no UNet resident)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the in-transaction "
+                        "denoise run to this directory (diagnose the "
+                        "resident-HBM slowdown step by step)")
     p.add_argument("--fused", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="CPU wiring smoke (tiny configs, not a benchmark)")
@@ -336,11 +340,17 @@ def main():
                              args.image_size), B, axis=0))
         run = adapter._denoise_fn(args.steps, args.image_size,
                                   args.image_size)
+        if args.profile:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         imgs_dev = run(adapter.unet_params, adapter.vae_params, lat, pe,
                        pe_neg, pooled, pooled_neg, tids, jnp.float32(7.5))
         jax.block_until_ready(imgs_dev)
         device_denoise_s = time.perf_counter() - t0
+        if args.profile:
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {args.profile}",
+                  file=sys.stderr)
         t0 = time.perf_counter()
         u8 = _np.asarray(_postprocess_u8(imgs_dev))
         fetch_s = time.perf_counter() - t0
