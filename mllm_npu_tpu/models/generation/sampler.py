@@ -97,6 +97,27 @@ def apply_image_ladder(logits: jax.Array, last_token: jax.Array,
     return jnp.where(in_ladder[:, None], forced, suppressed)
 
 
+def ladder_propose(cur: jax.Array, props: jax.Array,
+                   ladder: ImageTokenLadder) -> jax.Array:
+    """Ladder-aware speculative proposals: once the last token is inside
+    the image ladder, the next tokens are KNOWN constants — the
+    AutoImageTokenGenerationProcessor semantics force them at verify
+    (apply_image_ladder), so proposing the successor chain is accepted
+    by construction and the 64-token ladder advances k+1 tokens per
+    verify forward instead of one per decode step. Positions past the
+    ladder's end (``</img>``) fall back to the caller's prompt-lookup
+    proposals. cur: scalar last token; props: [k] proposals to
+    override. (Reference behavior anchor: mllm.py:28-43 forces these
+    tokens one at a time through its per-step logits processor.)"""
+    ids = jnp.asarray(ladder.ids, jnp.int32)                 # [L]
+    L = ids.shape[0]
+    idx = jnp.max(jnp.where(cur == ids[:-1], jnp.arange(L - 1), -1))
+    src = idx + 1 + jnp.arange(props.shape[0])
+    from_ladder = ids[jnp.clip(src, 0, L - 1)]
+    use = jnp.logical_and(idx >= 0, src <= L - 1)
+    return jnp.where(use, from_ladder, props)
+
+
 def sample_rows(logits: jax.Array, rngs: jax.Array, temperature: jax.Array,
                 top_p: jax.Array, do_sample: jax.Array) -> jax.Array:
     """Per-row temperature + top-p nucleus sampling, branchless mix with
@@ -257,6 +278,10 @@ def speculative_decode_loop(step_multi: Callable, cache: Any,
         props = jax.lax.dynamic_slice(
             C, (jnp.clip(p_star + 1, 0, L - k),), (k,))
         props = jnp.where(p_star >= 0, props, cfg.pad_token_id)
+        if ladder is not None:
+            # inside the forced image ladder the continuation is a
+            # known constant — propose it (100% acceptance)
+            props = ladder_propose(cur[0], props, ladder)
 
         # ---- verify: one forward over [cur, props...]
         toks_in = jnp.concatenate([cur, props])[None]       # [1, k+1]

@@ -164,8 +164,10 @@ class ContinuousBatchingEngine:
         # extra verify positions are ~free (measured 1.10x a single
         # step at 8B int8) and every accepted draft converts ~1:1 into
         # aggregate speedup. Greedy slots accept matching prefixes;
-        # sampled slots emit one sampled token per tick (speculative
-        # acceptance is greedy-only), so mixed batches stay correct.
+        # sampled slots accept only forced image-ladder positions (the
+        # forced logits are one-hot, so greedy == the sampling
+        # distribution there) and sample the correction position, so
+        # mixed batches stay correct.
         # Proposals are built ON DEVICE from a per-slot token history —
         # no host round-trip, so step()'s dispatch pipelining survives.
         self.speculative_k = speculative_k
@@ -618,6 +620,16 @@ class ContinuousBatchingEngine:
             act = state["active"]
             props = jax.vmap(propose)(state["hist"],
                                       state["hist_len"])   # [B, k]
+            if self.ladder is not None:
+                # inside the forced image-token ladder the continuation
+                # is a known constant — propose the successor chain
+                # (accepted by construction; the 64-token ladder then
+                # advances k+1 tokens per verify tick)
+                from mllm_npu_tpu.models.generation.sampler import \
+                    ladder_propose
+                props = jax.vmap(
+                    lambda c, p: ladder_propose(c, p, self.ladder))(
+                        state["cur_tok"], props)
             toks_in = jnp.concatenate(
                 [state["cur_tok"][:, None], props], axis=1)  # [B, W]
             positions = state["rope_pos"][:, None] + \
@@ -634,21 +646,39 @@ class ContinuousBatchingEngine:
                     lg.reshape(B * W, V),
                     toks_in.reshape(B * W), self.ladder).reshape(B, W, V)
             g = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, W]
+            acc = props == g[:, :k]                        # [B, k]
+            if self.enable_sampling:
+                # sampled rows: greedy-chain acceptance is invalid —
+                # EXCEPT inside the image ladder, where the emitted
+                # token is forced (deterministic under any sampling),
+                # so in-ladder forced positions still accept
+                if self.ladder is not None:
+                    lad_prev = jnp.asarray(self.ladder.ids[:-1],
+                                           jnp.int32)
+                    forced = (toks_in[:, :k, None]
+                              == lad_prev[None, None, :]).any(-1)
+                    acc_sampled = jnp.logical_and(acc, forced)
+                else:
+                    acc_sampled = jnp.zeros_like(acc)
+                acc = jnp.where(state["do_sample"][:, None],
+                                acc_sampled, acc)
+            m = jnp.cumprod(acc.astype(jnp.int32), axis=1).sum(axis=1)
             emit_tok = g
             if self.enable_sampling:
-                # sampled rows: acceptance is greedy-only — emit ONE
-                # token sampled from the window's first position
+                # sampled rows: every accepted position is forced (its
+                # logits are a one-hot, so greedy == the sampling
+                # distribution); the correction position m is the first
+                # genuinely stochastic one — sample THERE, not at 0
                 keys = jax.vmap(
                     lambda kk: jax.random.split(kk, 2))(state["rng"])
-                samp = _sample_rows(lg[:, 0], keys[:, 0], state["temp"],
+                lg_m = jnp.take_along_axis(
+                    lg, m[:, None, None], axis=1)[:, 0]    # [B, V]
+                samp = _sample_rows(lg_m, keys[:, 0], state["temp"],
                                     state["top_p"], state["do_sample"])
-                emit_tok = emit_tok.at[:, 0].set(
-                    jnp.where(state["do_sample"], samp, g[:, 0]))
-
-            m = jnp.cumprod((props == g[:, :k]).astype(jnp.int32),
-                            axis=1).sum(axis=1)            # [B]
-            if self.enable_sampling:
-                m = jnp.where(state["do_sample"], 0, m)
+                rows_b = jnp.arange(B)
+                emit_tok = emit_tok.at[rows_b, m].set(
+                    jnp.where(state["do_sample"], samp,
+                              emit_tok[rows_b, m]))
             rem = jnp.maximum(state["max_gen"] - state["n_gen"], 1)
             e = jnp.minimum(m + 1, rem)
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)

@@ -641,3 +641,117 @@ def test_speculative_engine_mixed_sampled_and_greedy_slots():
     assert r_greedy.done and r_greedy.tokens == exp
     assert r_samp.done and len(r_samp.tokens) == T
     assert all(0 <= t < SPEC.vocab for t in r_samp.tokens)
+
+
+@pytest.mark.slow
+def test_speculative_engine_ladder_parity_and_sampled_forcing():
+    """Ladder + speculative_k: (a) greedy token parity with the plain
+    ladder engine; (b) a SAMPLED request whose prompt ends with <img>
+    still emits the exact forced ladder (forced positions accept and
+    are deterministic under any temperature)."""
+    from mllm_npu_tpu.models.generation.sampler import ImageTokenLadder
+    from mllm_npu_tpu.utils.testing import FakeTokenizer
+
+    model, lm_cfg, params = _stack()
+    tok = FakeTokenizer()
+    n_img = 4
+    ladder_ids = tuple([tok.special["<img>"]]
+                       + [tok.special[f"<img_{i:05d}>"]
+                          for i in range(n_img)]
+                       + [tok.special["</img>"]])
+    ladder = ImageTokenLadder(ids=ladder_ids)
+    T = n_img + 3
+    prompt = [3, 17, ladder_ids[0]]          # ends with <img>
+
+    plain = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=2,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        ladder=ladder)
+    r0 = plain.submit(prompt, max_new_tokens=T)
+    plain.run_until_idle()
+    exp = r0.tokens
+    assert exp[:n_img + 1] == list(ladder_ids[1:]), exp
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        ladder=ladder, speculative_k=3, enable_sampling=True)
+    r1 = eng.submit(prompt, max_new_tokens=T)
+    r2 = eng.submit(prompt, max_new_tokens=T, do_sample=True,
+                    temperature=0.9, top_p=0.95, seed=3)
+    eng.run_until_idle()
+    assert r1.done and r1.tokens == exp, (r1.tokens, exp)
+    assert r2.done and r2.tokens[:n_img + 1] == list(ladder_ids[1:]), \
+        r2.tokens
+
+
+@pytest.mark.slow
+def test_speculative_engine_ladder_mechanics():
+    """Oracle check of ladder-aware drafting: with cur_tok inside the
+    forced ladder, BOTH a greedy and a sampled row advance k+1 forced
+    tokens in ONE verify tick (the oracle model never predicts ladder
+    tokens raw, so full acceptance proves the drafts came from
+    ladder_propose); at the ladder's END a sampled row's correction
+    token is SAMPLED from the post-</img> logits (varies across rng),
+    while a greedy row's stays argmax."""
+    from mllm_npu_tpu.models.generation.sampler import ImageTokenLadder
+
+    model, lm_cfg, params = _stack()
+    B, k, max_len = 4, 4, 64
+    W = k + 1
+    lad = tuple(range(20, 31))               # boi=20, eoi=30
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=B, max_len=max_len,
+        prompt_bucket=16, eos_token_id=-1, cache_dtype=jnp.float32,
+        speculative_k=k, enable_sampling=True,
+        ladder=ImageTokenLadder(ids=lad))
+    L, _, _, Hkv, D = eng.state["k"].shape
+    V = lm_cfg.vocab_size
+
+    # near-flat raw logits, never pointing at ladder tokens
+    raw = (jnp.arange(V, dtype=jnp.float32) % 7) * 0.05
+    raw = raw.at[20:31].set(-5.0)
+
+    def oracle_lm(params_, toks, cache, positions, attn_mask, **kw):
+        logits = jnp.broadcast_to(raw, toks.shape + (V,))
+        out_cache = {"k": cache["k"], "v": cache["v"],
+                     "pos": cache["pos"],
+                     "k_col": jnp.zeros((L, B, W, Hkv, D), jnp.float32),
+                     "v_col": jnp.zeros((L, B, W, Hkv, D), jnp.float32)}
+        return logits, None, out_cache
+
+    eng._lm_apply = oracle_lm
+    decode = eng._get_spec_decode()
+
+    def run_with_seed(seed):
+        # decode donates its state arg — copy the template per call
+        base = jax.tree.map(jnp.copy, eng.state)
+        st = {**base,
+              "cur_tok": jnp.asarray([20, 20, 28, 28], jnp.int32),
+              "active": jnp.ones((B,), bool),
+              "do_sample": jnp.asarray([False, True, True, False]),
+              "temp": jnp.asarray([1.0, 1.0, 4.0, 1.0], jnp.float32),
+              "top_p": jnp.ones((B,), jnp.float32),
+              "rng": jax.random.split(jax.random.PRNGKey(seed), B),
+              "write_pos": jnp.full((B,), 8, jnp.int32),
+              "rope_pos": jnp.full((B,), 8, jnp.int32),
+              "n_gen": jnp.ones((B,), jnp.int32),
+              "max_gen": jnp.full((B,), 32, jnp.int32)}
+        _, toks, mask = decode(eng.params, st)
+        return np.asarray(toks), np.asarray(mask)
+
+    toks, mask = run_with_seed(0)
+    # rows 0 (greedy) and 1 (sampled) mid-ladder: k+1 forced tokens
+    for r in (0, 1):
+        assert mask[r].sum() == W, (r, toks[r], mask[r])
+        assert list(toks[r]) == [21, 22, 23, 24, 25], toks[r]
+    # rows 2/3 at ladder end (cur=28): forced 29,30 accepted, then the
+    # correction — greedy row 3 emits argmax; sampled row 2 samples
+    g_corr = int(np.argmax(np.asarray(raw)))
+    assert mask[3].sum() == 3 and list(toks[3][:3]) == [29, 30, g_corr]
+    assert mask[2].sum() == 3 and list(toks[2][:2]) == [29, 30]
+    # the correction position is genuinely sampled: across seeds it
+    # varies (near-flat logits at temperature 4), never a ladder token
+    corr = {int(run_with_seed(s)[0][2, 2]) for s in range(6)}
+    assert len(corr) >= 2, corr
+    assert all(c < 20 or c > 30 for c in corr), corr

@@ -239,6 +239,60 @@ def test_speculative_padded_prompt_still_accepts():
     assert int(n_iters) <= (T + k) // (k + 1) + 1, int(n_iters)
 
 
+def test_ladder_propose_overrides_and_falls_back():
+    """Ladder-aware speculative proposals (sampler.ladder_propose):
+    inside the forced ladder the successor chain is proposed (accepted
+    by construction at verify); past the ladder's end and outside it
+    the caller's prompt-lookup proposals pass through."""
+    from mllm_npu_tpu.models.generation.sampler import ladder_propose
+    ladder = ImageTokenLadder(ids=(5, 6, 7, 8, 9))
+    props = jnp.asarray([101, 102, 103, 104], jnp.int32)
+    # mid-ladder: cur=6 -> 7,8,9 then fall back past the end
+    out = np.asarray(ladder_propose(jnp.asarray(6), props, ladder))
+    np.testing.assert_array_equal(out, [7, 8, 9, 104])
+    # ladder start (boi): full chain
+    out = np.asarray(ladder_propose(jnp.asarray(5), props, ladder))
+    np.testing.assert_array_equal(out, [6, 7, 8, 9])
+    # final </img> is not a forcing position
+    out = np.asarray(ladder_propose(jnp.asarray(9), props, ladder))
+    np.testing.assert_array_equal(out, np.asarray(props))
+    # not in ladder: untouched
+    out = np.asarray(ladder_propose(jnp.asarray(3), props, ladder))
+    np.testing.assert_array_equal(out, np.asarray(props))
+
+
+def test_speculative_ladder_advances_k_plus_1():
+    """With a ladder, the speculative loop drafts the known forced
+    continuation: a 9-token forced chain + free text completes in <= 4
+    verify forwards (k=4) instead of one forward per token. The oracle
+    model NEVER predicts ladder tokens raw — forcing comes only from
+    apply_image_ladder at verify, so full acceptance proves the
+    proposals came from ladder_propose."""
+    from mllm_npu_tpu.models.generation.sampler import \
+        speculative_decode_loop
+    Sp, V, k, T = 8, 32, 4, 12
+    ladder = ImageTokenLadder(ids=tuple(range(20, 30)))  # boi=20 eoi=29
+    real = [3, 17, 20]                                   # ends with boi
+    ctx = jnp.asarray([real + [0] * (Sp - len(real))], jnp.int32)
+
+    def step_multi(toks, cache):
+        logits = jax.nn.one_hot(jnp.full(toks.shape, 2), V) * 10.0
+        h = jnp.zeros(toks.shape + (4,), jnp.float32)
+        return logits, h, {**cache, "pos": cache["pos"] + toks.shape[1]}
+
+    cfg = SamplingConfig(max_new_tokens=T, do_sample=False,
+                         eos_token_id=-1)
+    cache0 = {"pos": jnp.asarray([len(real)], jnp.int32)}
+    first = jnp.asarray([21], jnp.int32)   # forced successor of boi
+    fh = jnp.zeros((1, 4), jnp.float32)
+    tokens, _, _, n_iters = speculative_decode_loop(
+        step_multi, cache0, first, fh, cfg, ctx, ladder=ladder, k=k,
+        ngram=2, prompt_len=jnp.asarray(len(real), jnp.int32))
+    expect = [21, 22, 23, 24, 25, 26, 27, 28, 29, 2, 2, 2]
+    np.testing.assert_array_equal(np.asarray(tokens[0]), expect)
+    assert int(n_iters) <= 4, int(n_iters)
+
+
 @pytest.mark.slow
 def test_speculative_decode_eos_stop():
     """Speculation respects eos: pick the plain run's 4th generated
