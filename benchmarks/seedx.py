@@ -219,21 +219,38 @@ def main():
     @functools.partial(jax.jit, static_argnums=(3,))
     def decode_n(params, tok, cache, n):
         """n greedy steps; also returns the last-hidden window of the
-        final `nq` steps (the forced-ladder image-token hiddens)."""
+        final `nq` steps (the forced-ladder image-token hiddens) and the
+        emitted token chain (for the burst parity check)."""
         def fwd(m, ids, **kw):
             return m.language_model(ids, **kw)
 
         def body(i, carry):
-            tok, cache, win = carry
+            tok, cache, win, chain = carry
             logits, h, cache = model.apply(params, tok[:, None],
                                            cache=cache, method=fwd)
             win = jnp.roll(win, -1, axis=1).at[:, -1].set(
                 h[:, -1].astype(jnp.bfloat16))
-            return (jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32),
-                    cache, win)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            chain = chain.at[:, i].set(nxt)
+            return (nxt, cache, win, chain)
         win0 = jnp.zeros((B, nq, lm_cfg.hidden_size), jnp.bfloat16)
-        tok, cache, win = jax.lax.fori_loop(0, n, body, (tok, cache, win0))
-        return tok, win
+        chain0 = jnp.zeros((B, n), jnp.int32)
+        tok, cache, win, chain = jax.lax.fori_loop(
+            0, n, body, (tok, cache, win0, chain0))
+        return tok, win, chain
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def ladder_burst(params, toks, cache):
+        """The forced image-token ladder is a KNOWN constant once
+        ``<img>`` is emitted (reference mllm.py:28-43 forces it one
+        step at a time) — equivalently, full-width ladder speculation
+        (sampler.ladder_propose): ONE nq-token forward yields the same
+        hiddens as nq sequential decode steps. Cache is donated so the
+        KV append is in-place, as the serving engine does."""
+        def fwd(m, ids, **kw):
+            return m.language_model(ids, **kw)
+        _, h, cache = model.apply(params, toks, cache=cache, method=fwd)
+        return h.astype(jnp.bfloat16), cache
 
     @jax.jit
     def project(params, win):
@@ -265,7 +282,7 @@ def main():
         best = 1e9
         for _ in range(max(args.runs, 3)):
             t0 = time.perf_counter()
-            out, _ = decode_n(params, tok, cache, n)
+            out, _, _ = decode_n(params, tok, cache, n)
             _ = int(out[0])
             best = min(best, time.perf_counter() - t0)
         return best
@@ -275,9 +292,31 @@ def main():
     # forced-ladder image-token leg: 64 decode steps with hidden capture
     jax.block_until_ready(decode_n(params, tok, cache, nq))
     t0 = time.perf_counter()
-    _, win = decode_n(params, tok, cache, nq)
+    _, win, chain = decode_n(params, tok, cache, nq)
     jax.block_until_ready(win)
     img_decode_s = time.perf_counter() - t0
+
+    # ladder burst: the nq forced tokens in ONE multi-token forward
+    # (what the serving engine's ladder-aware speculation converges to)
+    burst_toks = jnp.concatenate([tok[:, None], chain[:, :nq - 1]],
+                                 axis=1)                    # [B, nq]
+
+    def run_burst():
+        cb = jax.tree_util.tree_map(jnp.copy, cache)  # donated per call
+        jax.block_until_ready(cb)
+        t0 = time.perf_counter()
+        win_b, _ = ladder_burst(params, burst_toks, cb)
+        jax.block_until_ready(win_b)
+        return time.perf_counter() - t0, win_b
+
+    _, win_b = run_burst()                                  # compile
+    img_burst_s = min(run_burst()[0] for _ in range(max(args.runs, 3)))
+    # parity: the burst hiddens ARE the sequential hiddens (same tokens,
+    # same positions; multi-token vs per-step attention is exact math)
+    dw = float(jnp.max(jnp.abs(win_b.astype(jnp.float32)
+                               - win.astype(jnp.float32))))
+    assert dw < 0.25, f"burst hidden mismatch: max|d|={dw}"
+    win = win_b
 
     feats = project(params, win)
     jax.block_until_ready(feats)           # compile
@@ -358,6 +397,7 @@ def main():
         out["image_out"] = {
             "size": args.image_size, "steps": args.steps,
             "img_token_decode_ms": round(img_decode_s * 1e3, 1),
+            "img_token_burst_ms": round(img_burst_s * 1e3, 1),
             "project_ms": round(project_s * 1e3, 2),
             "denoise_vae_s": round(denoise_s, 3),
             "breakdown": {
@@ -367,7 +407,13 @@ def main():
                     device_denoise_s / args.steps * 1e3, 1),
                 "host_fetch_pil_s": round(fetch_s, 3),
             },
+            # the production transaction uses the ladder BURST (the
+            # engine's ladder-aware speculation collapses the 64 forced
+            # steps); the sequential figure is kept for comparison
             "transaction_s": round(
+                statistics.median(prefill_ts) + img_burst_s
+                + project_s + denoise_s, 3),
+            "transaction_sequential_ladder_s": round(
                 statistics.median(prefill_ts) + img_decode_s
                 + project_s + denoise_s, 3),
         }
