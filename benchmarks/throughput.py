@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["tiny", "500m", "8b"],
+    p.add_argument("--preset", choices=["tiny", "500m", "8b", "13b"],
                default="500m")
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--prompt_tokens", type=int, default=128)
@@ -35,6 +35,12 @@ def main():
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int4", action="store_true",
                    help="int4 group-scale weight-only LLM")
+    p.add_argument("--kv", choices=["bf16", "fp8", "f32"],
+                   default="bf16",
+                   help="KV cache storage dtype: fp8 (e4m3) halves the "
+                        "cache's HBM footprint + per-tick read traffic "
+                        "— decisive for no-GQA models (13b preset: "
+                        "0.8 MB/token/slot bf16)")
     p.add_argument("--fused", action="store_true")
     p.add_argument("--unroll", action="store_true",
                    help="per-layer params (scan_layers=False): int8 "
@@ -101,6 +107,19 @@ def main():
             scan_layers=False)
         vis_cfg = SigLIPConfig.so400m_384()
         nq, heads = 64, 32
+    elif args.preset == "13b":
+        # SEED-X flagship LLM (Llama-2-13B has NO GQA — 40 kv heads —
+        # so the bf16 KV cache, 0.8 MB/token/slot, not the int4
+        # weights, bounds slots x context on one 16GB v5e); the
+        # Qwen-ViT-G int8 tower is kept resident as it is in serving
+        assert (args.int8 or args.int4) and args.unroll, \
+            "13B needs --int8/--int4 --unroll"
+        lm_cfg = LlamaConfig.llama2_13b(
+            quantization="int4" if args.int4 else "int8",
+            fused_projections=args.fused,
+            scan_layers=False)
+        vis_cfg = None                      # Qwen-ViT-G, built below
+        nq, heads = 64, 32
     else:
         lm_cfg = LlamaConfig(
             vocab_size=32000, hidden_size=1536, intermediate_size=4096,
@@ -110,10 +129,18 @@ def main():
         nq, heads = 64, 16
 
     lm = LlamaForCausalLM(lm_cfg, dtype=jnp.bfloat16)
-    vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+    if args.preset == "13b":
+        from mllm_npu_tpu.models.multimodal_encoder.qwenvl_vit import (
+            QwenViTConfig, VisionTransformerWithAttnPool)
+        vis_cfg = QwenViTConfig.vit_g(quantization="int8")
+        vis = VisionTransformerWithAttnPool(vis_cfg, dtype=jnp.bfloat16)
+        kv_dim = vis_cfg.output_dim
+    else:
+        vis = SigLIPVisionEncoder(vis_cfg, dtype=jnp.bfloat16)
+        kv_dim = vis_cfg.hidden_size
     proj = AttentionResampler(grid_size=int(nq ** 0.5),
                               embed_dim=lm_cfg.hidden_size,
-                              num_heads=heads, kv_dim=vis_cfg.hidden_size,
+                              num_heads=heads, kv_dim=kv_dim,
                               dtype=jnp.bfloat16)
     model = GeneralizedMultimodalModel(
         language_model=lm, vision_encoder=vis, projector=proj,
@@ -123,10 +150,25 @@ def main():
     rs = np.random.RandomState(0)
     S = args.prompt_tokens
     ids = jnp.asarray(rs.randint(5, lm_cfg.vocab_size, (1, S)), jnp.int32)
-    params = model.init(
-        jax.random.PRNGKey(0), ids, None,
-        jnp.ones((1, S), jnp.int32), ids, None, None,
-        jnp.zeros((1, S), bool), jnp.zeros((1, S), bool), None)
+    if args.preset == "13b":
+        # init WITH an image so the int8 ViT-G tower params materialize
+        # and stay resident — throughput is then measured at the true
+        # serving HBM headroom (flax only creates called modules)
+        img = jnp.asarray(rs.randn(1, vis_cfg.image_size,
+                                   vis_cfg.image_size, 3), jnp.bfloat16)
+        ids_cmp = np.zeros((1, S), bool)
+        ids_cmp[0, 2:2 + nq] = True
+        params = model.init(
+            jax.random.PRNGKey(0), ids, img,
+            jnp.ones((1, S), jnp.int32), ids, None,
+            jnp.ones((1,), bool),
+            jnp.zeros((1, S), bool), jnp.asarray(ids_cmp),
+            jnp.asarray(rs.rand(1, 2), jnp.float32))
+    else:
+        params = model.init(
+            jax.random.PRNGKey(0), ids, None,
+            jnp.ones((1, S), jnp.int32), ids, None, None,
+            jnp.zeros((1, S), bool), jnp.zeros((1, S), bool), None)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
@@ -134,21 +176,21 @@ def main():
     from mllm_npu_tpu.utils.weights import (fuse_llama_projections,
                                             quantize_llama_params,
                                             unstack_llama_params)
-    if args.fused and args.preset != "8b":
+    if args.fused and args.preset not in ("8b", "13b"):
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params, fuse_llama_projections,
             fused_projections=True)
-    if args.int8 and args.preset != "8b":
+    if args.int8 and args.preset not in ("8b", "13b"):
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params, quantize_llama_params,
             quantization="int8")
-    if args.int4 and args.preset != "8b":
+    if args.int4 and args.preset not in ("8b", "13b"):
         gs = lm_cfg.quant_group_size
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params,
             lambda p_: quantize_llama_params(p_, bits=4, group_size=gs),
             quantization="int4")
-    if args.unroll and args.preset != "8b":
+    if args.unroll and args.preset not in ("8b", "13b"):
         model, lm_cfg, params = rebuild_llm(
             model, lm_cfg, params, unstack_llama_params,
             scan_layers=False)
@@ -159,10 +201,13 @@ def main():
     # so the bucket must be the shared-prefix length (not the full
     # prompt) for the shared prefix to be reusable
     bucket = args.prefix_probe if args.prefix_probe else S
+    kv_map = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn,
+              "f32": jnp.float32}
     eng = ContinuousBatchingEngine(
         model, lm_cfg, params, num_slots=args.slots,
         max_len=args.max_len, block_steps=args.block_steps,
         prompt_bucket=bucket, eos_token_id=-1,
+        cache_dtype=kv_map[args.kv],
         prefill_chunk=args.prefill_chunk,
         prefix_cache=args.prefix_cache,
         speculative_k=args.speculative,
@@ -224,6 +269,7 @@ def main():
     print(json.dumps({
         "preset": args.preset, "slots": args.slots,
         "int8": args.int8, "int4": args.int4, "fused": args.fused,
+        "kv": args.kv,
         "prompt_tokens": S, "block_steps": args.block_steps,
         "agg_tokens_per_sec": round(tok_per_sec, 1),
         "step_ms_all_slots": round(per_tok_ms, 3),

@@ -456,6 +456,16 @@ def test_worker_config_json(tmp_path):
                "configs" / "workers" / "seedx_worker.json")
     args = parse_worker_args(["--worker-config", str(shipped)])
     assert args.model_config.endswith("seedx_llama2_13b_qwenvl_vitg.yaml")
+
+    # fp8 KV cache flag: CLI + JSON-default forms both parse
+    a_fp8 = parse_worker_args(["--model-config", "m.yaml",
+                               "--kv-cache-dtype", "fp8"])
+    assert a_fp8.kv_cache_dtype == "fp8"
+    wc2 = {"model_config": "m.yaml", "kv_cache_dtype": "fp8"}
+    p2 = tmp_path / "worker_fp8.json"
+    p2.write_text(json.dumps(wc2))
+    assert parse_worker_args(
+        ["--worker-config", str(p2)]).kv_cache_dtype == "fp8"
     assert args.batched and args.num_slots == 8
 
 
