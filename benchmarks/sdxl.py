@@ -107,6 +107,13 @@ def main():
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="per-chip bf16 peak (v5e 197, v5p 459) for the "
                         "%%-of-peak column")
+    p.add_argument("--quant", choices=["none", "int8", "int4"],
+                   default="none",
+                   help="int8/int4 weight-only storage on the UNet's "
+                        "transformer-block projections (ops/quant.py "
+                        "QuantDense) — VERDICT r4 #3 measured "
+                        "substitution; prints a one-step eps-error "
+                        "quality proxy vs the bf16 UNet")
     p.add_argument("--ballast_gb", type=float, default=0.0,
                    help="allocate this many GB of device HBM before "
                         "timing — reproduces the SEED-X transaction's "
@@ -166,6 +173,48 @@ def main():
     print(f"init done in {time.time()-t0:.1f}s; unet params "
           f"{n_unet/1e9:.2f}B", file=sys.stderr)
 
+    quant_info = None
+    if args.quant != "none":
+        import dataclasses as _dc
+
+        from mllm_npu_tpu.models.generation.unet import \
+            quantize_unet_params
+        q_ucfg = _dc.replace(ucfg, quantization=args.quant)
+        q_unet = UNet2DConditionModel(q_ucfg, dtype=dtype,
+                                      param_dtype=dtype)
+        bits = 8 if args.quant == "int8" else 4
+        q_params = jax.jit(lambda p: quantize_unet_params(p, bits=bits)
+                           )(unet_params)
+        jax.block_until_ready(q_params)
+        # quality proxy: one UNet eps prediction on fixed inputs, rel
+        # RMS error vs the bf16 UNet (same weights pre-quantization)
+        kq = jax.random.PRNGKey(7)
+        xs = jax.random.normal(kq, (1, S, S, ucfg.in_channels), dtype)
+        cs = jax.random.normal(kq, (1, 64, ucfg.cross_attention_dim),
+                               dtype)
+        added = {"text_embeds": jnp.ones((1, pooled_dim), dtype),
+                 "time_ids": jnp.ones((1, 6), dtype)}
+        ts_in = jnp.full((1,), 500.0)
+        o_f = jax.jit(unet.apply)(unet_params, xs, ts_in, cs, added)
+        o_q = jax.jit(q_unet.apply)(q_params, xs, ts_in, cs, added)
+        d = (o_q.astype(jnp.float32) - o_f.astype(jnp.float32))
+        rms = float(jnp.sqrt(jnp.mean(o_f.astype(jnp.float32) ** 2)))
+        quant_info = {
+            "quant": args.quant,
+            "eps_rel_rms_err": round(
+                float(jnp.sqrt(jnp.mean(d ** 2))) / rms, 5),
+            "eps_rel_max_err": round(float(jnp.max(jnp.abs(d))) / rms, 5),
+            "quant_params_bytes_gb": round(sum(
+                int(x.size * x.dtype.itemsize)
+                for x in jax.tree_util.tree_leaves(q_params)) / 2**30, 2),
+            "bf16_params_bytes_gb": round(sum(
+                int(x.size * x.dtype.itemsize)
+                for x in jax.tree_util.tree_leaves(unet_params)) / 2**30,
+                2),
+        }
+        print(f"quant quality proxy: {quant_info}", file=sys.stderr)
+        unet, unet_params = q_unet, q_params   # time the quantized UNet
+
     adapter = SDXLAdapter(unet_module=unet, unet_params=unet_params,
                           resampler_module=res, resampler_params=res_params)
     adapter.init_pipe(vae, vae_params, scheduler=EulerDiscreteScheduler())
@@ -219,6 +268,7 @@ def main():
         "image_latency_s": round(med_img, 3),
         "image_steps": args.steps_image,
         "ballast_gb": args.ballast_gb,
+        "quant": quant_info,
     }))
     del ballast
 

@@ -312,10 +312,22 @@ def main():
     _, win_b = run_burst()                                  # compile
     img_burst_s = min(run_burst()[0] for _ in range(max(args.runs, 3)))
     # parity: the burst hiddens ARE the sequential hiddens (same tokens,
-    # same positions; multi-token vs per-step attention is exact math)
-    dw = float(jnp.max(jnp.abs(win_b.astype(jnp.float32)
-                               - win.astype(jnp.float32))))
-    assert dw < 0.25, f"burst hidden mismatch: max|d|={dw}"
+    # same positions; multi-token vs per-step attention is exact math).
+    # Scale-aware bound: bf16 rounding scales with the hidden magnitude,
+    # so a fixed absolute max|d| threshold is regime-dependent (too
+    # tight on a large-activation checkpoint, too loose on a small
+    # one). Use a per-row cosine floor instead — a positions/
+    # cache-offset bug decorrelates whole rows at any magnitude —
+    # plus an RMS-relative max|d| report for the log.
+    wf = win.astype(jnp.float32)
+    bf = win_b.astype(jnp.float32)
+    dw = float(jnp.max(jnp.abs(bf - wf)))
+    rms = float(jnp.sqrt(jnp.mean(wf * wf)))
+    norm = lambda x: x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    cos_min = float(jnp.min(jnp.sum(norm(wf) * norm(bf), axis=-1)))
+    assert cos_min > 0.999, \
+        (f"burst hidden mismatch: min row cosine={cos_min}, "
+         f"max|d|={dw} (hidden RMS={rms})")
     win = win_b
 
     feats = project(params, win)
@@ -407,9 +419,14 @@ def main():
                     device_denoise_s / args.steps * 1e3, 1),
                 "host_fetch_pil_s": round(fetch_s, 3),
             },
-            # the production transaction uses the ladder BURST (the
-            # engine's ladder-aware speculation collapses the 64 forced
-            # steps); the sequential figure is kept for comparison
+            # the production transaction uses the ladder BURST: serve
+            # with `worker --speculative-k 63` and ONE verify tick
+            # spans the 64 forced tokens (ladder-aware drafting emits
+            # k+1/tick; k = ladder width - 1 -> one forward — the
+            # engine path is parity-tested at full ladder width in
+            # tests/test_batched_engine.py::
+            # test_speculative_full_ladder_burst_single_tick). The
+            # sequential figure is kept for comparison
             "transaction_s": round(
                 statistics.median(prefill_ts) + img_burst_s
                 + project_s + denoise_s, 3),

@@ -156,6 +156,13 @@ def main():
         # serving HBM headroom (flax only creates called modules)
         img = jnp.asarray(rs.randn(1, vis_cfg.image_size,
                                    vis_cfg.image_size, 3), jnp.bfloat16)
+        # the scatter below needs nq True positions after the 2-token
+        # lead-in; a shorter prompt silently truncates the numpy slice
+        # and the image-embed count no longer matches the resampler
+        assert S >= nq + 2, (
+            f"--preset 13b needs --prompt_tokens >= {nq + 2} "
+            f"(the {nq} image-embed positions + 2 lead-in tokens); "
+            f"got {S}")
         ids_cmp = np.zeros((1, S), bool)
         ids_cmp[0, 2:2 + nq] = True
         params = model.init(

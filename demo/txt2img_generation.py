@@ -73,6 +73,10 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--tiny_sdxl", action="store_true")
     parser.add_argument("--fake_tokenizer", action="store_true")
+    parser.add_argument("--params_checkpoint", type=str, default=None,
+                        help="orbax dir: a trainer --output_dir or a "
+                             "converted params dir (the reference demo "
+                             "loads pretrained_model_path)")
     args = parser.parse_args()
 
     import jax
@@ -103,7 +107,13 @@ def main():
                     image_size=vis_cfg.image_size, nq=nq,
                     vocab=llm.config.vocab_size, max_images=2)
     example = synthetic_batch(spec, cmp_images=1, gen_images=1)
-    params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
+    if args.params_checkpoint:
+        from mllm_npu_tpu.utils.convert import restore_any_params
+        params = restore_any_params(bundle, example,
+                                    args.params_checkpoint)
+    else:
+        params = init_assembly_params(bundle, example,
+                                      jax.random.PRNGKey(0))
 
     adapter, ucfg, vcfg = build_adapter(args.tiny_sdxl,
                                         llm.config.hidden_size)

@@ -16,7 +16,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def build_eval_model(config_path: str, max_new_tokens: int = 512):
+def build_eval_model(config_path: str, max_new_tokens: int = 512,
+                     params_checkpoint: str = None):
+    """``params_checkpoint``: orbax dir to evaluate — either a trainer
+    ``--output_dir`` (TrainState save) or a converted params-only dir.
+    This is the train→evaluate round trip the reference performs via
+    ``pretrained_model_path`` (reference evaluate/run.py:20-37);
+    without it, params come from the YAML's named torch checkpoints
+    (or random DEBUG init)."""
     import jax
 
     from mllm_npu_tpu.configs import instantiate, load_config
@@ -45,7 +52,12 @@ def build_eval_model(config_path: str, max_new_tokens: int = 512):
                     image_size=vis_cfg.image_size, nq=nq,
                     vocab=llm.config.vocab_size, max_images=2)
     example = synthetic_batch(spec, cmp_images=1)
-    params = init_assembly_params(bundle, example, jax.random.PRNGKey(0))
+    if params_checkpoint:
+        from mllm_npu_tpu.utils.convert import restore_any_params
+        params = restore_any_params(bundle, example, params_checkpoint)
+    else:
+        params = init_assembly_params(bundle, example,
+                                      jax.random.PRNGKey(0))
     engine = InferenceEngine(
         model=bundle.module, lm_config=llm.config, params=params,
         tokenizer=tokenizer, image_transform=processor,
@@ -63,12 +75,16 @@ def main():
     parser.add_argument("--data_path", type=str,
                         default="./evaluate/eval_data/mmlu/")
     parser.add_argument("--max_items", type=int, default=None)
+    parser.add_argument("--params_checkpoint", type=str, default=None,
+                        help="orbax dir to evaluate: a trainer "
+                             "--output_dir or a converted params dir")
     args = parser.parse_args()
 
     from mllm_npu_tpu.evaluate import mm_benchmarks as mm
     from mllm_npu_tpu.evaluate import text_benchmarks as tb
 
-    model = build_eval_model(args.config_path)
+    model = build_eval_model(args.config_path,
+                             params_checkpoint=args.params_checkpoint)
     if args.dataset_name == "mmlu":
         tb.mmlu_eval(model, args.data_path,
                      max_items_per_subject=args.max_items)

@@ -63,6 +63,12 @@ class UNetConfig:
     # adapter_modules.py:37-62)
     ip_num_image_tokens: int = 0
     ip_scale: float = 1.0
+    # int8 weight-only storage for the transformer-block projections
+    # (attention qkv/out, GEGLU, proj_in/out) via ops.quant.QuantDense.
+    # Measured on v5e (benchmarks/sdxl.py --quant int8): the CFG step
+    # is COMPUTE-bound (~5% of step time is weight traffic), so this
+    # trades quality for HBM residency, not speed — see BASELINE.md.
+    quantization: Optional[str] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -191,6 +197,7 @@ class CrossAttention(nn.Module):
     attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context=None, ip_scale=None):
@@ -205,8 +212,10 @@ class CrossAttention(nn.Module):
                 return LoRADense(f, self.lora_rank, float(self.lora_rank),
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype, name=name)
-            return nn.Dense(f, use_bias=bias, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name=name)
+            from mllm_npu_tpu.ops.quant import QuantDense
+            return QuantDense(f, quantization=self.quantization,
+                              use_bias=bias, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name=name)
 
         def attend(q, k, v):
             # ops.multi_head_attention routes the big self-attention
@@ -248,16 +257,20 @@ class GEGLUFeedForward(nn.Module):
     mult: int = 4
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        from mllm_npu_tpu.ops.quant import QuantDense
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="proj")(x)
+        proj = QuantDense(inner * 2, quantization=self.quantization,
+                          dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out")(h)
+        return QuantDense(self.dim, quantization=self.quantization,
+                          dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -271,6 +284,7 @@ class BasicTransformerBlock(nn.Module):
     attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context, ip_scale=None):
@@ -283,6 +297,7 @@ class BasicTransformerBlock(nn.Module):
                                attention_impl=self.attention_impl,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
+                               quantization=self.quantization,
                                name="attn1")(ln("norm1")(x))
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
                                self.context_dim,
@@ -292,10 +307,12 @@ class BasicTransformerBlock(nn.Module):
                                attention_impl=self.attention_impl,
                                dtype=self.dtype,
                                param_dtype=self.param_dtype,
+                               quantization=self.quantization,
                                name="attn2")(ln("norm2")(x), context,
                                              ip_scale)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
+                                 quantization=self.quantization,
                                  name="ff")(ln("norm3")(x))
         return x
 
@@ -312,9 +329,11 @@ class Transformer2D(nn.Module):
     attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, context, ip_scale=None):
+        from mllm_npu_tpu.ops.quant import QuantDense
         B, H, W, C = x.shape
         residual = x
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
@@ -322,8 +341,9 @@ class Transformer2D(nn.Module):
                          name="norm")(x)
         # SDXL: use_linear_projection=True
         x = x.reshape(B, H * W, C)
-        x = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_in")(x)
+        x = QuantDense(C, quantization=self.quantization,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj_in")(x)
         dim_head = C // self.heads
         for i in range(self.layers):
             x = BasicTransformerBlock(C, self.heads, dim_head,
@@ -331,10 +351,12 @@ class Transformer2D(nn.Module):
                                       self.lora_rank, self.lora_targets,
                                       self.ip_tokens, self.attention_impl,
                                       self.dtype, self.param_dtype,
+                                      quantization=self.quantization,
                                       name=f"blocks_{i}")(x, context,
                                                           ip_scale)
-        x = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_out")(x)
+        x = QuantDense(C, quantization=self.quantization,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj_out")(x)
         return x.reshape(B, H, W, C) + residual
 
 
@@ -434,6 +456,7 @@ class UNet2DConditionModel(nn.Module):
                                cfg.lora_targets, cfg.ip_num_image_tokens,
                                cfg.attention_impl,
                                self.dtype, self.param_dtype,
+                               quantization=cfg.quantization,
                                name=f"down_{bi}_attn_{li}")(h, context,
                                                             ip_scale)
                 skips.append(h)
@@ -451,8 +474,9 @@ class UNet2DConditionModel(nn.Module):
                    cfg.cross_attention_dim, cfg.norm_num_groups,
                    cfg.lora_rank, cfg.lora_targets,
                    cfg.ip_num_image_tokens, cfg.attention_impl,
-                   self.dtype, self.param_dtype, name="mid_attn")(h, context,
-                                                                  ip_scale)
+                   self.dtype, self.param_dtype,
+                   quantization=cfg.quantization,
+                   name="mid_attn")(h, context, ip_scale)
         h = res_cls(mid_ch, cfg.norm_num_groups, self.dtype,
                     self.param_dtype, name="mid_res_1")(h, temb)
 
@@ -474,6 +498,7 @@ class UNet2DConditionModel(nn.Module):
                         cfg.lora_rank, cfg.lora_targets,
                         cfg.ip_num_image_tokens, cfg.attention_impl,
                         self.dtype, self.param_dtype,
+                        quantization=cfg.quantization,
                         name=f"up_{bi}_attn_{li}")(h, context, ip_scale)
             if bi < n_blocks - 1:
                 h = Upsample(ch, self.dtype, self.param_dtype,
@@ -484,3 +509,21 @@ class UNet2DConditionModel(nn.Module):
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         return conv(cfg.out_channels, "conv_out")(h)
+
+
+# Dense layers OUTSIDE the transformer blocks stay float under
+# ``UNetConfig.quantization``: the two timestep-MLP projections and the
+# per-resnet time_emb_proj are tiny (B×dim activations, no L dimension)
+# and quantizing them would complicate the converter for no HBM win.
+UNET_QUANT_SKIP = ("time_embedding", "add_embedding", "time_emb_proj")
+
+
+def quantize_unet_params(params, bits: int = 8, group_size: int = 256):
+    """Float UNet param tree → the structure ``UNetConfig(quantization=
+    'int8'|'int4')`` expects (transformer-block Dense kernels →
+    kernel_q + scale; convs/norms/time MLPs untouched). Mirrors
+    ``quantize_llama_params``/``QwenViTConfig.quantization`` for the
+    de-tokenizer (VERDICT r4 #3 measured-substitution experiment)."""
+    from mllm_npu_tpu.ops.quant import quantize_dense_params
+    return quantize_dense_params(params, skip=UNET_QUANT_SKIP,
+                                 bits=bits, group_size=group_size)

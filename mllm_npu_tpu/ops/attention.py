@@ -167,9 +167,18 @@ def decode_attention(
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
-    qg = (q.astype(jnp.float32) * scale).astype(k.dtype)
+    # fp8 is a STORAGE dtype only: the bandwidth win is the cache READ
+    # (already realized by the time k/v reach this function). Doing the
+    # dot/softmax math in fp8 would quantize q and the probabilities to
+    # 3 mantissa bits (probs < ~2^-9 flush to zero) for no extra HBM
+    # savings — so compute in bf16 whenever the cache is 8-bit.
+    comp_dtype = jnp.bfloat16 if jnp.dtype(k.dtype).itemsize == 1 \
+        else k.dtype
+    kc = k if k.dtype == comp_dtype else k.astype(comp_dtype)
+    vc = v if v.dtype == comp_dtype else v.astype(comp_dtype)
+    qg = (q.astype(jnp.float32) * scale).astype(comp_dtype)
     qg = qg.reshape(B, Sq, Hkv, G, D)
-    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kc,
                         preferred_element_type=jnp.float32)
     am = jnp.broadcast_to(attn_mask, (B, 1, 1, Sk)) \
         .reshape(B, 1, 1, 1, Sk)
@@ -178,7 +187,7 @@ def decode_attention(
     if blk_k is not None:
         n = blk_k.shape[1]
         blk_logits = jnp.einsum(
-            "bqhgd,bnhd->bhgqn", qg, blk_k.astype(k.dtype),
+            "bqhgd,bnhd->bhgqn", qg, blk_k.astype(comp_dtype),
             preferred_element_type=jnp.float32)       # [B,Hkv,G,1,n]
         bm = blk_mask.reshape(B, 1, 1, 1, n)
         blk_logits = jnp.where(bm, blk_logits, DEFAULT_MASK_VALUE)
@@ -186,7 +195,7 @@ def decode_attention(
         splits.append(splits[-1] + n)
     if k_cur is not None:
         self_logit = jnp.einsum(
-            "bqhgd,bshd->bhgqs", qg, k_cur.astype(k.dtype),
+            "bqhgd,bshd->bhgqs", qg, k_cur.astype(comp_dtype),
             preferred_element_type=jnp.float32)       # [B,Hkv,G,Sq,W]
         W = k_cur.shape[1]
         if W > 1 or Sq > 1:
@@ -198,15 +207,15 @@ def decode_attention(
             cm = (q_idx >= w_idx)[None, None, None]
             self_logit = jnp.where(cm, self_logit, DEFAULT_MASK_VALUE)
         logits = jnp.concatenate([logits, self_logit], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs[..., :Sk], v,
+    probs = jax.nn.softmax(logits, axis=-1).astype(comp_dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs[..., :Sk], vc,
                      preferred_element_type=jnp.float32)
     if blk_k is not None:
         out = out + jnp.einsum(
             "bhgqn,bnhd->bqhgd", probs[..., Sk:splits[1]],
-            blk_v.astype(v.dtype), preferred_element_type=jnp.float32)
+            blk_v.astype(comp_dtype), preferred_element_type=jnp.float32)
     if k_cur is not None:
         out = out + jnp.einsum(
             "bhgqs,bshd->bqhgd", probs[..., splits[-1]:],
-            v_cur.astype(v.dtype), preferred_element_type=jnp.float32)
+            v_cur.astype(comp_dtype), preferred_element_type=jnp.float32)
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)

@@ -21,7 +21,7 @@ import time
 from typing import Optional
 
 __all__ = ["build_assembly_from_yaml", "convert_model_checkpoint",
-           "restore_params"]
+           "restore_params", "restore_any_params"]
 
 
 def build_assembly_from_yaml(model_config_path: str):
@@ -105,4 +105,68 @@ def restore_params(bundle, example: dict, params_checkpoint: str,
         raise FileNotFoundError(
             f"no orbax checkpoint under {params_checkpoint} — run "
             f"scripts/tools/convert_checkpoint.py first")
+    return params
+
+
+def restore_any_params(bundle, example: dict, ckpt_dir: str,
+                       step: Optional[int] = None, mesh=None):
+    """Restore ``bundle`` params from EITHER checkpoint flavor this
+    repo produces — the train→evaluate round trip the reference's
+    evaluate/run.py:20-37 performs via ``pretrained_model_path``:
+
+    - a converted params-only orbax dir (:func:`convert_model_checkpoint`
+      / ``scripts/tools/convert_checkpoint.py``) → delegates to
+      :func:`restore_params` (sharded template restore);
+    - a TRAINER output dir (full TrainState orbax save,
+      train/train.py ``--output_dir``) → template-less restore, the
+      ``params`` subtree is kept and the optimizer state discarded.
+
+    Detection is structural: a trainer checkpoint's saved tree has
+    ``opt_state``/``step`` siblings next to ``params``.
+    """
+    from pathlib import Path
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(
+        str(Path(ckpt_dir).resolve()),
+        options=ocp.CheckpointManagerOptions(step_prefix="checkpoint"))
+    try:
+        got = step if step is not None else mgr.latest_step()
+        if got is None:
+            raise FileNotFoundError(
+                f"no orbax checkpoint under {ckpt_dir}")
+        restored = mgr.restore(
+            got, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        state = restored["state"]
+    finally:
+        mgr.close()
+    if isinstance(state, dict) and "opt_state" in state:
+        params = state["params"]
+    else:
+        params = state
+    # structural sanity against the model: apply would fail late and
+    # opaquely on a wrong checkpoint — compare key trees now
+    template = jax.eval_shape(
+        lambda: bundle.module.init(jax.random.PRNGKey(0), **example))
+    t_paths = {jax.tree_util.keystr(p) for p, _
+               in jax.tree_util.tree_flatten_with_path(template)[0]}
+    p_paths = {jax.tree_util.keystr(p) for p, _
+               in jax.tree_util.tree_flatten_with_path(params)[0]}
+    if t_paths != p_paths:
+        missing = sorted(t_paths - p_paths)[:5]
+        extra = sorted(p_paths - t_paths)[:5]
+        raise ValueError(
+            f"checkpoint under {ckpt_dir} does not match the model: "
+            f"{len(t_paths - p_paths)} missing (e.g. {missing}), "
+            f"{len(p_paths - t_paths)} unexpected (e.g. {extra})")
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from mllm_npu_tpu.parallel.sharding import infer_param_specs
+        specs = infer_param_specs(template, mesh)
+        params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, specs)
     return params

@@ -647,28 +647,71 @@ def test_speculative_engine_mixed_sampled_and_greedy_slots():
 def test_engine_fp8_kv_cache():
     """fp8 (e4m3) KV storage — halves cache HBM footprint + read
     traffic (decisive for no-GQA models like Llama-2-13B): decode
-    completes full-length, is deterministic run-to-run, and the FIRST
+    completes full-length, is deterministic run-to-run, the FIRST
     token exactly matches the f32-cache reference (it comes from
-    prefill logits, which never touch the cache dtype)."""
+    prefill logits, which never touch the cache dtype), and a
+    multi-token greedy stream tracks the bf16-cache stream over a
+    moderate prefix (the tiny random model has near-tied logits, so
+    full-stream identity is not expected — but an every-token-degrades
+    bug, like doing the softmax math in fp8, collapses the shared
+    prefix to ~1)."""
     model, lm_cfg, params = _stack()
     prompt = [3, 17, 42, 9, 100, 7]
-    T = 8
+    T = 24
     exp = _reference_tokens(model, lm_cfg, params, prompt, T)
 
-    def run():
+    def run(dtype):
         eng = ContinuousBatchingEngine(
             model, lm_cfg, params, num_slots=2, max_len=64,
             block_steps=2, prompt_bucket=8, eos_token_id=-1,
-            cache_dtype=jnp.float8_e4m3fn)
-        assert eng.state["k"].dtype == jnp.float8_e4m3fn
+            cache_dtype=dtype)
+        assert eng.state["k"].dtype == dtype
         r = eng.submit(prompt, max_new_tokens=T)
         eng.run_until_idle()
         return r.tokens
 
-    a = run()
+    a = run(jnp.float8_e4m3fn)
     assert len(a) == T and all(0 <= t < SPEC.vocab for t in a)
     assert a[0] == exp[0], (a, exp)
-    assert run() == a                       # deterministic
+    assert run(jnp.float8_e4m3fn) == a      # deterministic
+    bf = run(jnp.bfloat16)
+    shared = 0
+    for x, y in zip(a, bf):
+        if x != y:
+            break
+        shared += 1
+    # measured 12 shared tokens on this stack; the old fp8-math path
+    # would diverge almost immediately
+    assert shared >= 4, (shared, a, bf)
+
+
+@pytest.mark.slow
+def test_fp8_kv_decode_attention_error_bound():
+    """Numeric bound on the fp8 STORAGE path (ADVICE r4 #1): with an
+    e4m3 cache, decode_attention must compute in bf16 — q and the
+    softmax probabilities quantized to fp8 (the old behavior) measure
+    10.5% RMS error vs the f32 oracle; storage-only quantization
+    measures 3.7%. The 8% bound separates the two regimes."""
+    from mllm_npu_tpu.ops.attention import decode_attention
+
+    rs = np.random.RandomState(0)
+    B, Hq, Hkv, D, Sk = 2, 8, 4, 64, 256
+    q = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(B, Sk, Hkv, D), jnp.float32)
+    v = jnp.asarray(rs.randn(B, Sk, Hkv, D), jnp.float32)
+    mask = jnp.ones((B, 1, 1, Sk), bool)
+    ref = decode_attention(q.astype(jnp.float32), k, v, mask)
+    o = decode_attention(q, k.astype(jnp.float8_e4m3fn),
+                         v.astype(jnp.float8_e4m3fn), mask)
+    d = o.astype(jnp.float32) - ref.astype(jnp.float32)
+    denom = float(jnp.sqrt(jnp.mean(ref.astype(jnp.float32) ** 2)))
+    rms_rel = float(jnp.sqrt(jnp.mean(d ** 2))) / denom
+    assert rms_rel < 0.08, rms_rel
+    # and the bf16 cache stays an order of magnitude tighter
+    ob = decode_attention(q, k.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16), mask)
+    db = ob.astype(jnp.float32) - ref.astype(jnp.float32)
+    assert float(jnp.sqrt(jnp.mean(db ** 2))) / denom < 0.01
 
 
 @pytest.mark.slow
@@ -783,3 +826,94 @@ def test_speculative_engine_ladder_mechanics():
     corr = {int(run_with_seed(s)[0][2, 2]) for s in range(6)}
     assert len(corr) >= 2, corr
     assert all(c < 20 or c > 30 for c in corr), corr
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("prefill_chunk", [None, 8])
+def test_speculative_with_prefix_cache_parity(prefill_chunk):
+    """Compose: a prompt admitted via a prefix-cache HIT into a
+    speculative_k>0 engine emits the same greedy tokens as the cold
+    plain engine — the two features share per-slot history/write-pos
+    state (hist is seeded from the full prompt even when only the
+    suffix prefills), so the composition needs its own parity proof."""
+    model, lm_cfg, params = _stack()
+    sys_prompt = [7, 3, 99, 12, 45, 6, 81, 2, 33, 9]   # > bucket of 8
+    prompts = [sys_prompt + [100, 101, 5],
+               sys_prompt + [200, 14, 77, 21],
+               sys_prompt + [100, 101, 5]]             # exact resubmit
+    T = 8
+    expected = [_reference_tokens(model, lm_cfg, params, p, T)
+                for p in prompts]
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=2, max_len=64, block_steps=3,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        prefill_chunk=prefill_chunk, prefix_cache=4, speculative_k=4)
+    reqs = []
+    for p in prompts:                   # serialize so hits are real
+        r = eng.submit(p, max_new_tokens=T)
+        eng.run_until_idle()
+        reqs.append(r)
+    for req, exp in zip(reqs, expected):
+        assert req.done and req.tokens == exp, (req.tokens, exp)
+    st = eng.stats()["prefix_cache"]
+    assert st["hits"] >= 2 and st["tokens_saved"] >= 16, st
+
+
+@pytest.mark.slow
+def test_speculative_full_ladder_burst_single_tick():
+    """speculative_k = ladder_width: the ENTIRE forced image ladder
+    emits in ONE verify tick — the serving configuration behind the
+    seedx burst headline (k=63 collapses the 64 forced tokens into one
+    forward there; this is the same mechanism at tiny scale). Asserts
+    (a) token parity with the plain engine and (b) that one tick's
+    emission spans the whole ladder."""
+    from mllm_npu_tpu.models.generation.sampler import ImageTokenLadder
+    from mllm_npu_tpu.utils.testing import FakeTokenizer
+
+    model, lm_cfg, params = _stack()
+    tok = FakeTokenizer()
+    n_img = 8
+    ladder_ids = tuple([tok.special["<img>"]]
+                       + [tok.special[f"<img_{i:05d}>"]
+                          for i in range(n_img)]
+                       + [tok.special["</img>"]])
+    ladder = ImageTokenLadder(ids=ladder_ids)
+    # after prefill emits <img>, the remaining forced chain is
+    # n_img + 1 tokens (img_0..img_{n-1}, </img>): k = n_img + 1 makes
+    # the verify window span it exactly (k + 1 = chain + correction)
+    k = n_img + 1
+    T = n_img + 4
+
+    plain = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=1, max_len=64, block_steps=2,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        ladder=ladder)
+    # force the prompt to end with <img> so the ladder starts at once
+    prompt = [3, 17, 42, ladder_ids[0]]
+    r0 = plain.submit(prompt, max_new_tokens=T)
+    plain.run_until_idle()
+    exp = r0.tokens
+    assert exp[:n_img + 1] == list(ladder_ids[1:]), exp
+
+    eng = ContinuousBatchingEngine(
+        model, lm_cfg, params, num_slots=1, max_len=64,
+        prompt_bucket=8, eos_token_id=-1, cache_dtype=jnp.float32,
+        ladder=ladder, speculative_k=k)
+    r1 = eng.submit(prompt, max_new_tokens=T)
+    # drive tick-by-tick, recording per-tick emission deltas (token
+    # distribution lags dispatch by one tick under pipelining — count
+    # deltas, not ticks)
+    deltas, last = [], len(r1.tokens)
+    while eng.step():
+        now = len(r1.tokens)
+        if now != last:
+            deltas.append(now - last)
+            last = now
+    assert r1.done and r1.tokens == exp, (r1.tokens, exp)
+    # delta[0] = 1 is the prefill's first token (already forced to
+    # ladder_ids[1] at admission); the FIRST DECODE emission then
+    # spans the whole remaining ladder (n_img forced) + the correction
+    # token in one verify tick — the 64-wide burst at seedx scale
+    assert len(deltas) >= 2 and deltas[0] == 1, (deltas, r1.tokens)
+    assert deltas[1] >= n_img + 1, (deltas, r1.tokens)

@@ -1,0 +1,155 @@
+"""Train→evaluate round trip through the repo's OWN artifacts
+(VERDICT r4 #4): the trainer's orbax checkpoint restores into the eval
+harness / demos via ``--params_checkpoint`` — the reference's
+evaluate-a-trained-model flow (reference evaluate/run.py:20-37 loads
+``pretrained_model_path``; here the artifact is orbax, not torch)."""
+
+import json
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_train_cli import DATA_YAML, MODEL_YAML, _make_caption_tar
+
+
+def _write_train_inputs(tmp_path):
+    _make_caption_tar(tmp_path / "shard-000.tar")
+    proc_json = tmp_path / "proc.json"
+    proc_json.write_text(json.dumps({
+        "size": {"height": 56, "width": 56},
+        "do_normalize": True, "image_mean": [0.5, 0.5, 0.5],
+        "image_std": [0.5, 0.5, 0.5]}))
+    model_yaml = tmp_path / "model.yaml"
+    model_yaml.write_text(MODEL_YAML.format(proc_json=proc_json))
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(DATA_YAML.format(data_dir=tmp_path))
+    return model_yaml, data_yaml
+
+
+@pytest.mark.slow
+def test_train_then_evaluate_roundtrip(tmp_path, monkeypatch):
+    """Train 3 DEBUG steps → restore the trainer checkpoint into the
+    eval harness → dispatch MMLU → assert the evaluated params ARE the
+    trained ones (leaf-equal to the checkpoint, not the random init)."""
+    import pandas as pd
+
+    from mllm_npu_tpu.train.train import main as train_main
+
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    model_yaml, data_yaml = _write_train_inputs(tmp_path)
+    out_dir = tmp_path / "out"
+    train_main([
+        "--model", str(model_yaml),
+        "--train_dataset", str(data_yaml),
+        "--output_dir", str(out_dir),
+        "--max_steps", "3", "--save_steps", "3", "--log_steps", "1",
+        "--warmup_steps", "0", "--learning_rate", "1e-2",
+        "--fake_tokenizer",
+    ])
+    assert sorted(out_dir.glob("checkpoint_*"))
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                           / "evaluate"))
+    from importlib import import_module
+    run = import_module("run")
+    em = run.build_eval_model(str(model_yaml), max_new_tokens=4,
+                              params_checkpoint=str(out_dir))
+
+    # the evaluated params are the TRAINED ones: leaf-equal to an
+    # independent restore of the checkpoint, and different from the
+    # random init the harness uses without --params_checkpoint
+    import orbax.checkpoint as ocp
+    em_rand = run.build_eval_model(str(model_yaml), max_new_tokens=4)
+
+    def some_leaf(tree):
+        leaves = [(jax.tree_util.keystr(p), v) for p, v in
+                  jax.tree_util.tree_flatten_with_path(tree)[0]
+                  if "projector" in jax.tree_util.keystr(p)
+                  and v.ndim >= 2]
+        return leaves[0]
+
+    mgr = ocp.CheckpointManager(
+        str(out_dir.resolve()),
+        options=ocp.CheckpointManagerOptions(step_prefix="checkpoint"))
+    raw = mgr.restore(mgr.latest_step(), args=ocp.args.Composite(
+        state=ocp.args.StandardRestore()))["state"]
+    mgr.close()
+    kp, trained = some_leaf(em.params)
+    _, ckpt_leaf = some_leaf(raw["params"])
+    _, rand = some_leaf(em_rand.params)
+    assert np.array_equal(np.asarray(trained), np.asarray(ckpt_leaf)), kp
+    assert not np.allclose(np.asarray(trained), np.asarray(rand)), (
+        f"{kp} equals the random init — checkpoint not actually loaded")
+
+    # and a benchmark dispatches end-to-end on the restored params
+    (tmp_path / "dev").mkdir()
+    (tmp_path / "test").mkdir()
+    rows = [["What is 2+2?", "1", "2", "4", "8", "C"]] * 6
+    pd.DataFrame(rows).to_csv(tmp_path / "dev" / "math_dev.csv",
+                              header=False, index=False)
+    pd.DataFrame(rows).to_csv(tmp_path / "test" / "math_test.csv",
+                              header=False, index=False)
+    monkeypatch.chdir(tmp_path)
+    from mllm_npu_tpu.evaluate import text_benchmarks as tb
+    res = tb.mmlu_eval(em, str(tmp_path), max_items_per_subject=2)
+    assert "math" in res and "average" in res
+    assert Path("result_mmlu.json").exists()
+
+    # converted params-only dirs restore through the same entry point
+    from mllm_npu_tpu.utils.convert import convert_model_checkpoint
+    conv_dir = tmp_path / "converted"
+    convert_model_checkpoint(str(model_yaml), str(conv_dir))
+    em2 = run.build_eval_model(str(model_yaml), max_new_tokens=4,
+                               params_checkpoint=str(conv_dir))
+    assert em2 is not None
+
+    # a WRONG checkpoint fails loudly at load time (structural check in
+    # restore_any_params), not deep inside model.apply
+    bad = tmp_path / "bad"
+    from mllm_npu_tpu.train.checkpoint import CheckpointManager
+    bmgr = CheckpointManager(str(bad), async_save=False)
+    bmgr.save(0, {"params": {"not_the_model": np.zeros((2, 2))}})
+    bmgr.wait()
+    bmgr.close()
+    with pytest.raises(ValueError, match="does not match the model"):
+        run.build_eval_model(str(model_yaml), max_new_tokens=4,
+                             params_checkpoint=str(bad))
+
+
+@pytest.mark.slow
+def test_demo_loads_trainer_checkpoint(tmp_path, monkeypatch):
+    """img2txt demo answers from a trainer checkpoint via
+    --params_checkpoint (subprocess, the user-facing surface)."""
+    import io
+    import subprocess
+
+    from PIL import Image
+
+    from mllm_npu_tpu.train.train import main as train_main
+
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    model_yaml, data_yaml = _write_train_inputs(tmp_path)
+    out_dir = tmp_path / "out"
+    train_main([
+        "--model", str(model_yaml),
+        "--train_dataset", str(data_yaml),
+        "--output_dir", str(out_dir),
+        "--max_steps", "2", "--save_steps", "2", "--log_steps", "1",
+        "--warmup_steps", "0", "--fake_tokenizer",
+    ])
+    img = tmp_path / "q.jpg"
+    Image.new("RGB", (300, 300), (10, 200, 30)).save(img)
+    repo = Path(__file__).resolve().parents[1]
+    import os
+    env = dict(os.environ, DEBUG_FLAG="True", JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [sys.executable, str(repo / "demo" / "img2txt_inference.py"),
+         "--config", str(model_yaml), "--image", str(img),
+         "--question", "what is it?", "--max_new_tokens", "4",
+         "--fake_tokenizer", "--params_checkpoint", str(out_dir)],
+        capture_output=True, text=True, timeout=900, cwd=repo, env=env)
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "A:" in p.stdout, p.stdout
