@@ -67,6 +67,12 @@ def main():
                    help="with --speculative: half the slots sample "
                         "(temperature 0.8) — they ride the same verify "
                         "forward at 1 token/tick")
+    p.add_argument("--kv_parity", type=int, default=0, metavar="N",
+                   help="decode N greedy tokens from the same prompt "
+                        "with --kv and with the other cache dtype "
+                        "(bf16<->fp8), report token match-rate + "
+                        "longest shared prefix — the fp8 quality row "
+                        "next to its speed row (VERDICT r4 #2b)")
     p.add_argument("--stall_probe", type=int, default=0, metavar="SP",
                    help="measure the decode stall a long (SP-token) "
                         "prompt admission inflicts on running slots: "
@@ -220,6 +226,35 @@ def main():
         speculative_k=args.speculative,
         enable_sampling=args.mixed_sampling)
 
+    if args.kv_parity:
+        other = "bf16" if args.kv != "bf16" else "fp8"
+        N = args.kv_parity
+        assert eng.capacity_for(S) >= N, "raise --max_len for kv_parity"
+        eng2 = ContinuousBatchingEngine(
+            model, lm_cfg, params, num_slots=args.slots,
+            max_len=args.max_len, block_steps=args.block_steps,
+            prompt_bucket=bucket, eos_token_id=-1,
+            cache_dtype=kv_map[other])
+
+        def stream(e):
+            r = e.submit(np.asarray(ids[0]), max_new_tokens=N)
+            e.run_until_idle()
+            return r.tokens
+
+        a, b = stream(eng), stream(eng2)
+        match = sum(x == y for x, y in zip(a, b))
+        shared = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            shared += 1
+        print(json.dumps({
+            "preset": args.preset, "int8": args.int8, "int4": args.int4,
+            "kv_a": args.kv, "kv_b": other, "prompt_tokens": S,
+            "decoded": N, "match_rate": round(match / N, 4),
+            "shared_prefix": shared,
+        }))
+        return
     if args.prefix_probe:
         _prefix_probe(args, eng, lm_cfg, rs)
         return
