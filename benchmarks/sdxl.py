@@ -107,6 +107,13 @@ def main():
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="per-chip bf16 peak (v5e 197, v5p 459) for the "
                         "%%-of-peak column")
+    p.add_argument("--solver_study", action="store_true",
+                   help="quality/speed study for the denoise leg: "
+                        "euler-50 as truth proxy; compare euler-30 vs "
+                        "DPM-Solver++2M-20/15 final images (PSNR) and "
+                        "wall times on identical noise/embeds, then "
+                        "exit. Justifies serving the transaction at "
+                        "dpm-20 (seedx.py --scheduler dpm --steps 20)")
     p.add_argument("--quant", choices=["none", "int8", "int4"],
                    default="none",
                    help="int8/int4 weight-only storage on the UNet's "
@@ -229,6 +236,51 @@ def main():
     time_ids = jnp.asarray(
         [[args.size, args.size, 0, 0, args.size, args.size]] * B,
         jnp.float32)
+
+    if args.solver_study:
+        from mllm_npu_tpu.models.generation.schedulers import (
+            DPMSolverPP2MScheduler)
+        import numpy as _np
+        dpm_adapter = SDXLAdapter(
+            unet_module=unet, unet_params=unet_params,
+            resampler_module=res, resampler_params=res_params)
+        dpm_adapter.init_pipe(vae, vae_params,
+                              scheduler=DPMSolverPP2MScheduler())
+
+        def run_once(ad, n):
+            run = ad._denoise_fn(n, args.size, args.size)
+            out = run(unet_params, vae_params, latents, pe, pe_neg,
+                      pooled, pooled_neg, time_ids, args.guidance)
+            jax.block_until_ready(out)           # compile + warm
+            t1 = time.perf_counter()
+            out = run(unet_params, vae_params, latents, pe, pe_neg,
+                      pooled, pooled_neg, time_ids, args.guidance)
+            jax.block_until_ready(out)
+            return _np.asarray(out, _np.float32), \
+                time.perf_counter() - t1
+
+        def psnr(a, b):
+            # images are [-1, 1] pre-postprocess; peak-to-peak 2.0
+            mse = float(_np.mean((a - b) ** 2))
+            return round(10 * _np.log10(4.0 / mse), 2)
+
+        truth, t_truth = run_once(adapter, 50)
+        e30, t_e30 = run_once(adapter, 30)
+        d20, t_d20 = run_once(dpm_adapter, 20)
+        d15, t_d15 = run_once(dpm_adapter, 15)
+        print(json.dumps({
+            "study": "solver", "size": args.size, "attn": args.attn,
+            "guidance": args.guidance,
+            "truth": "euler-50",
+            "euler30": {"s": round(t_e30, 3),
+                        "psnr_vs_truth_db": psnr(e30, truth)},
+            "dpm20": {"s": round(t_d20, 3),
+                      "psnr_vs_truth_db": psnr(d20, truth)},
+            "dpm15": {"s": round(t_d15, 3),
+                      "psnr_vs_truth_db": psnr(d15, truth)},
+            "euler50_s": round(t_truth, 3),
+        }))
+        return
 
     def timed(num_steps):
         run = adapter._denoise_fn(num_steps, args.size, args.size)

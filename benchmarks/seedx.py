@@ -35,6 +35,12 @@ def main():
                         "qwen_448 transform, one patch per image)")
     p.add_argument("--decode_tokens", type=int, default=32)
     p.add_argument("--image_size", type=int, default=1024)
+    p.add_argument("--scheduler", choices=["euler", "dpm"],
+                   default="euler",
+                   help="dpm = DPM-Solver++ 2M (second order): "
+                        "euler-30-class quality in ~20 steps — run "
+                        "with --steps 20 (study: sdxl.py "
+                        "--solver_study)")
     p.add_argument("--steps", type=int, default=30,
                    help="denoise steps (reference InferenceService "
                         "default, serve/worker.py:300)")
@@ -147,7 +153,7 @@ def main():
             SDXLAdapter)
         from mllm_npu_tpu.models.generation.resampler import ResamplerXL
         from mllm_npu_tpu.models.generation.schedulers import (
-            EulerDiscreteScheduler)
+            DPMSolverPP2MScheduler, EulerDiscreteScheduler)
         from mllm_npu_tpu.models.generation.unet import (
             UNet2DConditionModel, UNetConfig)
         from mllm_npu_tpu.models.generation.vae import (AutoencoderKL,
@@ -189,8 +195,15 @@ def main():
                               resampler_module=res,
                               resampler_params=res_params,
                               vit_down=True)
+        # --scheduler dpm: second-order DPM-Solver++ 2M — reaches
+        # euler-30 quality in ~20 steps (order proven in
+        # tests/test_detokenizer.py; image-space study:
+        # benchmarks/sdxl.py --solver_study), cutting the denoise leg
+        # — the transaction's dominant term — by ~1/3
+        sched = (DPMSolverPP2MScheduler() if args.scheduler == "dpm"
+                 else EulerDiscreteScheduler())
         adapter.init_pipe(vae, vae_params,
-                          scheduler=EulerDiscreteScheduler(),
+                          scheduler=sched,
                           visual_encoder=(
                               vis, {"params":
                                     params["params"]["vision_encoder"]}))
@@ -408,6 +421,7 @@ def main():
 
         out["image_out"] = {
             "size": args.image_size, "steps": args.steps,
+            "scheduler": args.scheduler,
             "img_token_decode_ms": round(img_decode_s * 1e3, 1),
             "img_token_burst_ms": round(img_burst_s * 1e3, 1),
             "project_ms": round(project_s * 1e3, 2),
