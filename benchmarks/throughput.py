@@ -296,10 +296,19 @@ def main():
         return
     n_warm, n_meas = 2, 8
     budget = args.block_steps * (n_warm + n_meas) + 2
-    for _ in range(args.slots):
-        eng.submit(np.asarray(ids[0]), max_new_tokens=budget)
+    reqs = [eng.submit(np.asarray(ids[0]), max_new_tokens=budget)
+            for _ in range(args.slots)]
     for _ in range(n_warm):
         eng.step()            # includes compile of prefill+decode
+    # the engine isolates per-request failures (a production property);
+    # a benchmark must NOT silently time an empty engine — surface the
+    # first admission error (e.g. HBM OOM at this slots x context
+    # x kv-dtype operating point) instead of printing garbage
+    errs = [r.error for r in reqs if getattr(r, "error", None)]
+    if errs:
+        raise SystemExit(
+            f"{len(errs)}/{args.slots} requests failed at admission — "
+            f"first error:\n{errs[0]}")
     t0 = time.perf_counter()
     for _ in range(n_meas):
         eng.step()
