@@ -153,3 +153,33 @@ def test_demo_loads_trainer_checkpoint(tmp_path, monkeypatch):
         capture_output=True, text=True, timeout=900, cwd=repo, env=env)
     assert p.returncode == 0, p.stderr[-3000:]
     assert "A:" in p.stdout, p.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_with_sample_packing(tmp_path, monkeypatch):
+    """The measured 1.48x packing win (benchmarks/packing.py) is
+    reachable from the USER surface: `packing: True` in the task yaml
+    flows tar -> pack_samples (segment-id rows) -> segment-aware train
+    step through the trainer CLI end-to-end."""
+    from mllm_npu_tpu.train.train import main as train_main
+
+    monkeypatch.setenv("DEBUG_FLAG", "True")
+    model_yaml, data_yaml = _write_train_inputs(tmp_path)
+    txt = data_yaml.read_text().replace(
+        "shard_for_host: False",
+        "shard_for_host: False\n    packing: True")
+    assert "packing: True" in txt
+    data_yaml.write_text(txt)
+    out_dir = tmp_path / "out_packed"
+    train_main([
+        "--model", str(model_yaml),
+        "--train_dataset", str(data_yaml),
+        "--output_dir", str(out_dir),
+        "--max_steps", "2", "--save_steps", "2", "--log_steps", "1",
+        "--warmup_steps", "0", "--fake_tokenizer",
+    ])
+    assert sorted(out_dir.glob("checkpoint_*"))
+    # loss was finite and logged (packed labels/segments wired through)
+    runs = [json.loads(x) for x in
+            (out_dir / "wandb" / "metrics.jsonl").read_text().splitlines()]
+    assert len(runs) == 2 and all(np.isfinite(r["loss"]) for r in runs)
