@@ -917,3 +917,40 @@ def test_speculative_full_ladder_burst_single_tick():
     # token in one verify tick — the 64-wide burst at seedx scale
     assert len(deltas) >= 2 and deltas[0] == 1, (deltas, r1.tokens)
     assert deltas[1] >= n_img + 1, (deltas, r1.tokens)
+
+
+@pytest.mark.slow
+def test_fp8_kv_with_speculative_ladder():
+    """Compose the 13B serving combo: fp8 KV cache (capacity) x
+    speculative_k spanning the ladder (burst) — the forced image
+    ladder must come out EXACTLY (forced positions are accepted by
+    construction, independent of cache numerics), the stream completes
+    and is deterministic."""
+    from mllm_npu_tpu.models.generation.sampler import ImageTokenLadder
+    from mllm_npu_tpu.utils.testing import FakeTokenizer
+
+    model, lm_cfg, params = _stack()
+    tok = FakeTokenizer()
+    n_img = 4
+    ladder_ids = tuple([tok.special["<img>"]]
+                       + [tok.special[f"<img_{i:05d}>"]
+                          for i in range(n_img)]
+                       + [tok.special["</img>"]])
+    ladder = ImageTokenLadder(ids=ladder_ids)
+    prompt = [3, 17, 42, ladder_ids[0]]
+    T = n_img + 3
+
+    def run():
+        eng = ContinuousBatchingEngine(
+            model, lm_cfg, params, num_slots=2, max_len=64,
+            prompt_bucket=8, eos_token_id=-1,
+            cache_dtype=jnp.float8_e4m3fn,
+            ladder=ladder, speculative_k=n_img + 1)
+        r = eng.submit(prompt, max_new_tokens=T)
+        eng.run_until_idle()
+        return r.tokens
+
+    a = run()
+    assert len(a) == T
+    assert a[:n_img + 1] == list(ladder_ids[1:]), a
+    assert run() == a
