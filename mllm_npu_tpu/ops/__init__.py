@@ -80,8 +80,17 @@ def flash_attention_padded(q, k, v, *, causal=False, segment_ids=None,
         # nothing, so skip the segment machinery (keeps the fast
         # unmasked kernel path)
         seg = None
+    # non-causal vision/UNet shapes prefer 1024 blocks: fewer grid
+    # programs amortize per-program DMA/scratch setup. Measured on v5e
+    # at the SDXL self-attention shapes (on-device loop): S=1024 H20
+    # 0.701 -> 0.637 ms, S=4096 H10 1.848 -> 1.685 ms (~9%); 2048
+    # blocks exceed the 16 MB scoped-vmem budget (compile OOM). Causal
+    # (train) shapes keep the 512 default — the causal block-skip
+    # granularity is worth more there.
+    bq = bk = 512 if causal else 1024
     out = flash_attention(qp, kp, vp, causal=causal, segment_ids=seg,
-                          scale=scale, interpret=interpret)
+                          scale=scale, block_q=bq, block_k=bk,
+                          interpret=interpret)
     return out[:, :Sq, :, :D]
 
 
