@@ -83,6 +83,14 @@ def main():
     p.add_argument("--mme_images", type=int, default=5)
     p.add_argument("--probe", choices=["both", "mmlu", "mme"],
                    default="both")
+    p.add_argument("--slots", type=int, default=4,
+                   help="batched-engine slots for --prefix_cache runs")
+    p.add_argument("--prefix_cache", type=int, default=0, metavar="N",
+                   help="route text benchmarks through the batched "
+                        "engine with an N-entry prompt-prefix KV "
+                        "cache: the few-shot preamble every item "
+                        "repeats prefills once, items after the first "
+                        "prefill only their question suffix")
     args = p.parse_args()
 
     import jax
@@ -152,13 +160,26 @@ def main():
     print(f"init {time.time() - t0:.1f}s", file=sys.stderr)
 
     tok = FakeTokenizer(vocab_size=min(4096, lm_cfg.vocab_size))
-    engine = InferenceEngine(
+    common = dict(
         model=model, lm_config=lm_cfg, params=params, tokenizer=tok,
         image_transform=ImageProcessor(height=vis_cfg.image_size,
                                        width=vis_cfg.image_size),
         base_resolution=vis_cfg.image_size,
         num_img_in_tokens=nq, num_img_out_tokens=nq,
         max_new_tokens=10)
+    if args.prefix_cache:
+        # 512-token buckets: the cache aligns prefixes to the bucket,
+        # and each suffix chunk is a full-width forward — 128-token
+        # chunks cost MORE than they save at 8B (each chunk re-streams
+        # the full weights + a host RTT: measured 2.72 items/s vs 4.5
+        # single-request before this was raised)
+        from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+        engine = BatchedInferenceEngine(
+            num_slots=args.slots, max_len=2048, max_prompt=1536,
+            batch_prompt_bucket=512,
+            prefix_cache=args.prefix_cache, **common)
+    else:
+        engine = InferenceEngine(**common)
     em = EvalModel(engine)
 
     out = {"preset": args.preset, "int8": args.int8, "int4": args.int4,
@@ -224,6 +245,9 @@ def main():
         }
         print(json.dumps(out["mme"]), file=sys.stderr)
 
+    if args.prefix_cache:
+        out["prefix_cache"] = \
+            engine.batch_engine.stats()["prefix_cache"]
     print(json.dumps(out))
 
 

@@ -17,13 +17,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def build_eval_model(config_path: str, max_new_tokens: int = 512,
-                     params_checkpoint: str = None):
+                     params_checkpoint: str = None,
+                     prefix_cache: int = 0):
     """``params_checkpoint``: orbax dir to evaluate — either a trainer
     ``--output_dir`` (TrainState save) or a converted params-only dir.
     This is the train→evaluate round trip the reference performs via
     ``pretrained_model_path`` (reference evaluate/run.py:20-37);
     without it, params come from the YAML's named torch checkpoints
-    (or random DEBUG init)."""
+    (or random DEBUG init).
+
+    ``prefix_cache`` > 0 routes text benchmarks through the
+    continuous-batching engine with an N-entry prompt-prefix KV cache:
+    the few-shot preamble every item repeats prefills once
+    (answer-identical to the single-request path — parity-tested)."""
     import jax
 
     from mllm_npu_tpu.configs import instantiate, load_config
@@ -58,6 +64,17 @@ def build_eval_model(config_path: str, max_new_tokens: int = 512,
     else:
         params = init_assembly_params(bundle, example,
                                       jax.random.PRNGKey(0))
+    if prefix_cache:
+        from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+        engine = BatchedInferenceEngine(
+            num_slots=2, max_len=2560, max_prompt=2048,
+            batch_prompt_bucket=512,
+            prefix_cache=prefix_cache,
+            model=bundle.module, lm_config=llm.config, params=params,
+            tokenizer=tokenizer, image_transform=processor,
+            num_img_in_tokens=nq, num_img_out_tokens=nq,
+            max_new_tokens=max_new_tokens)
+        return EvalModel(engine, model=bundle.module, params=params)
     engine = InferenceEngine(
         model=bundle.module, lm_config=llm.config, params=params,
         tokenizer=tokenizer, image_transform=processor,
@@ -78,13 +95,19 @@ def main():
     parser.add_argument("--params_checkpoint", type=str, default=None,
                         help="orbax dir to evaluate: a trainer "
                              "--output_dir or a converted params dir")
+    parser.add_argument("--prefix_cache", type=int, default=0,
+                        help="N-entry prompt-prefix KV cache via the "
+                             "batched engine: the repeated few-shot "
+                             "preamble prefills once (answer-"
+                             "identical; faster on long prompts)")
     args = parser.parse_args()
 
     from mllm_npu_tpu.evaluate import mm_benchmarks as mm
     from mllm_npu_tpu.evaluate import text_benchmarks as tb
 
     model = build_eval_model(args.config_path,
-                             params_checkpoint=args.params_checkpoint)
+                             params_checkpoint=args.params_checkpoint,
+                             prefix_cache=args.prefix_cache)
     if args.dataset_name == "mmlu":
         tb.mmlu_eval(model, args.data_path,
                      max_items_per_subject=args.max_items)

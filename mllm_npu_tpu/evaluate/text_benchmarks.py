@@ -56,20 +56,26 @@ def gen_prompt_df(train_df, subject, k=-1, chinese=False) -> str:
 
 def _eval_subject_df(model, subject, dev_df, test_df, chinese=False,
                      k=5, max_items=None):
-    cors = []
     n = test_df.shape[0] if max_items is None else min(max_items,
                                                        test_df.shape[0])
     train_prompt = gen_prompt_df(dev_df, subject, k, chinese=chinese)
-    for i in range(n):
-        prompt = train_prompt + format_example_df(test_df, i,
-                                                  include_answer=False,
-                                                  chinese=chinese)
-        label = str(test_df.iloc[i, test_df.shape[1] - 1])
-        text = model.generate_text(prompt, max_new_tokens=10)
-        # reference compares output['text'][1] to the label letter
-        # (mmlu.py:60-61): first decoded char after the leading space
-        pred = text.strip()[:1]
-        cors.append(pred == label)
+    prompts = [train_prompt + format_example_df(test_df, i,
+                                                include_answer=False,
+                                                chinese=chinese)
+               for i in range(n)]
+    labels = [str(test_df.iloc[i, test_df.shape[1] - 1])
+              for i in range(n)]
+    # batched engines decode a subject's items CONCURRENTLY (slots
+    # share one verify batch; greedy rows are order-independent so
+    # results are identical to the serial loop — parity-tested)
+    texts = (model.generate_text_many(prompts, max_new_tokens=10)
+             if hasattr(model, "generate_text_many")
+             and model.supports_concurrent_text()
+             else [model.generate_text(p, max_new_tokens=10)
+                   for p in prompts])
+    # reference compares output['text'][1] to the label letter
+    # (mmlu.py:60-61): first decoded char after the leading space
+    cors = [t.strip()[:1] == lab for t, lab in zip(texts, labels)]
     acc = float(np.mean(cors)) if cors else 0.0
     log.info("Average accuracy %.3f - %s", acc, subject)
     return np.asarray(cors), acc

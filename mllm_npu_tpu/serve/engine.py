@@ -249,10 +249,15 @@ class BatchedInferenceEngine(InferenceEngine):
 
     def _submit(self, input_text: str, image_b64: str,
                 max_new_tokens: Optional[int], q=None):
-        import threading
-
         ids, patches, patch_pos, ids_cmp_mask = \
             self._prepare_comprehension(input_text, image_b64)
+        return self._submit_ids(ids, patches, patch_pos, ids_cmp_mask,
+                                max_new_tokens, q)
+
+    def _submit_ids(self, ids, patches, patch_pos, ids_cmp_mask,
+                    max_new_tokens: Optional[int], q=None):
+        import threading
+
         eng = self.batch_engine
         want = max_new_tokens or self.generator.sampling.max_new_tokens
         mnt = min(want, eng.capacity_for(len(ids)))
@@ -303,6 +308,18 @@ class BatchedInferenceEngine(InferenceEngine):
         ev.wait()
         self._raise_if_failed(req)
         return self._strip_text(np.asarray(req.tokens, np.int32))
+
+    def generate_ids(self, ids, max_new_tokens: int) -> np.ndarray:
+        """Raw-token-id text generation through the batched engine —
+        the eval harness path (evaluate/evaluator.py): text-only
+        requests are prompt-prefix-cacheable, so few-shot benchmarks
+        whose items share a long dev-shot preamble prefill only the
+        question suffix after the first item."""
+        req, ev = self._submit_ids(np.asarray(ids, np.int32), None,
+                                   None, None, max_new_tokens)
+        ev.wait()
+        self._raise_if_failed(req)
+        return np.asarray(req.tokens, np.int32)
 
     def comprehension_stream(self, input_text: str, image_b64: str,
                              max_new_tokens: Optional[int] = None):

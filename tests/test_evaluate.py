@@ -350,3 +350,51 @@ def test_seed_bench2_real_fixture_result_jsonl(tmp_path):
     assert out.read_text() == (
         '{"question_id": "q_000001", "prediction": "A"}\n'
         '{"question_id": "q_000002", "prediction": "B"}\n')
+
+
+@pytest.mark.slow
+def test_mmlu_batched_prefix_cache_parity(tmp_path, monkeypatch):
+    """Text benchmarks through the BatchedInferenceEngine + prefix
+    cache (EvalModel.generate_text's batched path): answers are
+    IDENTICAL to the single-request generator, and the shared few-shot
+    preamble actually hits the cache (items after the first prefill
+    only their suffix — the eval-throughput lever measured in
+    benchmarks/eval_speed.py)."""
+    import pandas as pd
+
+    from mllm_npu_tpu.serve.engine import BatchedInferenceEngine
+
+    spec = TinySpec(batch=1, seq=64, image_size=56, nq=4)
+    model, lm_cfg, _ = build_tiny_mllm(spec)
+    batch = synthetic_batch(spec, cmp_images=1)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    common = dict(
+        model=model, lm_config=lm_cfg, params=params,
+        tokenizer=FakeTokenizer(),
+        image_transform=ImageProcessor(height=56, width=56),
+        resolution_grids=("1x1",), base_resolution=448,
+        num_img_in_tokens=4, num_img_out_tokens=4, max_new_tokens=4,
+        cache_dtype=jnp.float32)
+    single = EvalModel(InferenceEngine(**common))
+    batched = EvalModel(BatchedInferenceEngine(
+        num_slots=2, max_len=192, max_prompt=160,
+        batch_prompt_bucket=16, prefix_cache=4, **common))
+
+    (tmp_path / "dev").mkdir()
+    (tmp_path / "test").mkdir()
+    rows = [[f"What is {i}+{i}?", "1", "2", str(2 * i), "8", "C"]
+            for i in range(6)]
+    pd.DataFrame(rows).to_csv(tmp_path / "dev" / "math_dev.csv",
+                              header=False, index=False)
+    pd.DataFrame(rows).to_csv(tmp_path / "test" / "math_test.csv",
+                              header=False, index=False)
+    monkeypatch.chdir(tmp_path)
+    res_s = tb.mmlu_eval(single, str(tmp_path), k=2,
+                         max_items_per_subject=3,
+                         out_path="result_single.json")
+    res_b = tb.mmlu_eval(batched, str(tmp_path), k=2,
+                         max_items_per_subject=3,
+                         out_path="result_batched.json")
+    assert res_s == res_b, (res_s, res_b)
+    st = batched.engine.batch_engine.stats()["prefix_cache"]
+    assert st["hits"] >= 1 and st["tokens_saved"] > 0, st
